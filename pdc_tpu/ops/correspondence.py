@@ -1,0 +1,266 @@
+"""Batched, jit-compiled correspondence generation between posed RGBD frames.
+
+This is the TPU-native re-design of the reference's hot CPU path
+(``correspondence_finder.py:276-619``). The reference prunes candidate
+matches three times with data-dependent shapes (``torch.nonzero`` +
+``index_select`` chains); here every stage produces a *validity mask* over a
+fixed-size candidate set, so the whole computation is a single static-shape
+XLA program that can be vmapped over a batch of image pairs and sharded over
+a device mesh.
+
+Pipeline per pair (semantics match the reference stage-for-stage):
+  1. sample ``num_attempts`` pixels in image a (uniform over a mask if given)
+  2. unproject through K with the depth image -> camera frame -> world frame
+     via pose_a -> camera-b frame via pose_b^{-1} -> reproject through K
+  3. validity stages:
+     a. zero depth at the source pixel (no depth return)        [:504-515]
+     b. reprojection outside image-b's field of view            [:537-583]
+     c. occluded in image b (rendered depth closer than the
+        reprojected depth minus a 3 mm margin) or no b-return   [:585-615]
+
+Returns fixed-shape (uv_a, uv_b, valid) instead of pruned lists.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pdc_tpu.geom.camera import project_to_image, unproject_to_camera
+from pdc_tpu.geom.transforms import invert_se3, transform_points
+from pdc_tpu.ops.sampling import sample_from_mask, sample_uniform_pixels
+from pdc_tpu.utils.constants import DEPTH_IM_SCALE, OCCLUSION_MARGIN
+
+
+@dataclasses.dataclass(frozen=True)
+class CorrespondenceConfig:
+    """Static configuration for correspondence generation."""
+
+    num_attempts: int = 10000
+    occlusion_margin: float = OCCLUSION_MARGIN
+    depth_scale: float = DEPTH_IM_SCALE
+    fov_epsilon: float = 1e-3  # reference uses W - 1e-3 as the upper bound
+
+
+def find_pixel_correspondences(
+    depth_a,
+    pose_a,
+    depth_b,
+    pose_b,
+    K,
+    key,
+    num_attempts: int = 10000,
+    mask_a=None,
+    depth_scale: float = DEPTH_IM_SCALE,
+    occlusion_margin: float = OCCLUSION_MARGIN,
+):
+    """Find pixel correspondences between two posed depth frames.
+
+    :param depth_a, depth_b: [H, W] depth images. Integer dtypes are treated
+        as millimetres (divided by ``depth_scale``); float dtypes as metres.
+    :param pose_a, pose_b: [4, 4] camera-to-world transforms (RDF optical frame)
+    :param K: [3, 3] pinhole intrinsics
+    :param key: jax PRNG key
+    :param num_attempts: static — number of candidate source pixels
+    :param mask_a: optional [H, W] mask; candidates are drawn uniformly from
+        its nonzero entries (reference correspondence_finder.py:466-484)
+    :return: (uv_a, uv_b, valid)
+        uv_a: [num_attempts, 2] int32   source pixels in image a
+        uv_b: [num_attempts, 2] float32 subpixel correspondence in image b
+        valid: [num_attempts] bool      candidate survived all three prunes
+    """
+    H, W = depth_a.shape
+    k_sample, _ = jax.random.split(key)
+
+    if mask_a is None:
+        uv_a = sample_uniform_pixels(k_sample, W, H, num_attempts)
+        mask_ok = jnp.asarray(True)
+    else:
+        uv_a, mask_ok = sample_from_mask(k_sample, mask_a, num_attempts)
+
+    uv_b, valid = reproject_pixels(
+        uv_a, depth_a, pose_a, depth_b, pose_b, K,
+        depth_scale=depth_scale, occlusion_margin=occlusion_margin,
+    )
+    valid = valid & mask_ok
+    return uv_a, uv_b, valid
+
+
+def reproject_pixels(
+    uv_a,
+    depth_a,
+    pose_a,
+    depth_b,
+    pose_b,
+    K,
+    depth_scale: float = DEPTH_IM_SCALE,
+    occlusion_margin: float = OCCLUSION_MARGIN,
+):
+    """Core reprojection + 3-stage validity for given source pixels uv_a.
+
+    Shared by random match generation and evaluation (which reprojects
+    specific pixels, reference evaluation.py:908).
+
+    :return: (uv_b [N,2] float32, valid [N] bool)
+    """
+    H, W = depth_a.shape
+    uv_a = jnp.asarray(uv_a)
+    n_flat_a = uv_a[:, 1].astype(jnp.int32) * W + uv_a[:, 0].astype(jnp.int32)
+
+    depth_a_flat = _depth_to_metres(depth_a, depth_scale).reshape(-1)
+    z_a = jnp.take(depth_a_flat, n_flat_a, axis=0)
+
+    # Stage 1: no depth return at the source pixel.
+    valid = z_a > 0.0
+
+    # Unproject -> world -> camera b -> project.
+    pts_cam_a = unproject_to_camera(uv_a.astype(jnp.float32), z_a, K)
+    pts_world = transform_points(jnp.asarray(pose_a, jnp.float32), pts_cam_a)
+    world_to_b = invert_se3(jnp.asarray(pose_b, jnp.float32))
+    pts_cam_b = transform_points(world_to_b, pts_world)
+    uv_b, z_b = project_to_image(pts_cam_b, K)
+
+    # Stage 2: outside image-b's FOV (reference prunes at [0, dim - 1e-3)).
+    eps = 1e-3
+    in_fov = (
+        (uv_b[:, 0] >= 0.0)
+        & (uv_b[:, 0] <= W - eps)
+        & (uv_b[:, 1] >= 0.0)
+        & (uv_b[:, 1] <= H - eps)
+        & (z_b > 0.0)
+    )
+    valid = valid & in_fov
+
+    # Stage 3: occlusion check against image-b's depth at the (truncated)
+    # integer pixel (reference: "simply round to int -- good enough",
+    # correspondence_finder.py:592).
+    u_b_int = jnp.clip(uv_b[:, 0].astype(jnp.int32), 0, W - 1)
+    v_b_int = jnp.clip(uv_b[:, 1].astype(jnp.int32), 0, H - 1)
+    depth_b_flat = _depth_to_metres(depth_b, depth_scale).reshape(-1)
+    z_b_rendered = jnp.take(depth_b_flat, v_b_int * W + u_b_int, axis=0)
+    not_occluded = (z_b_rendered > 0.0) & (z_b_rendered >= z_b - occlusion_margin)
+    valid = valid & not_occluded
+
+    return uv_b, valid
+
+
+def _depth_to_metres(depth, depth_scale):
+    depth = jnp.asarray(depth)
+    if jnp.issubdtype(depth.dtype, jnp.floating):
+        return depth.astype(jnp.float32)
+    return depth.astype(jnp.float32) / depth_scale
+
+
+def create_non_correspondences(
+    key,
+    uv_b_matches,
+    image_shape,
+    num_non_matches_per_match: int = 100,
+    mask_b=None,
+):
+    """Sample non-matches in image b, perturbing any that collide with a match.
+
+    TPU-native rebuild of ``correspondence_finder.py:276-405``: fixed output
+    shape [num_matches, num_non_matches_per_match, 2]; the reference's
+    "perturb instead of prune" collision handling is kept exactly (it was
+    already shape-preserving):
+
+      * candidates are uniform over image b (or over ``mask_b``'s nonzero
+        pixels if given — the caller passes the object mask for masked
+        non-matches and its inverse for background non-matches)
+      * a candidate within 1 px (in u or v, each compared independently) of
+        its row's match is shifted by +-0.5 + N(0, 10) px (the same scalar
+        perturbation applied to both coordinates, as in the reference)
+      * out-of-bounds coordinates wrap around the image edges
+
+    :param uv_b_matches: [num_matches, 2] float or int pixel positions
+    :param image_shape: (H, W) static
+    :param mask_b: optional [H, W]; if provided but empty, falls back to
+        uniform sampling over the image (reference :321-323 prints a warning)
+    :return: uv_b_non_matches [num_matches, num_non_matches_per_match, 2]
+        float32
+    """
+    H, W = image_shape
+    uv_b_matches = jnp.asarray(uv_b_matches, jnp.float32)
+    num_matches = uv_b_matches.shape[0]
+    M = num_non_matches_per_match
+    total = num_matches * M
+
+    k_cand, k_flip, k_noise = jax.random.split(key, 3)
+
+    if mask_b is not None:
+        cand, mask_ok = sample_from_mask(k_cand, mask_b, total)
+        uniform = sample_uniform_pixels(k_cand, W, H, total)
+        cand = jnp.where(mask_ok, cand, uniform)
+    else:
+        cand = sample_uniform_pixels(k_cand, W, H, total)
+
+    cand = cand.reshape(num_matches, M, 2).astype(jnp.float32)
+
+    # Collision test: |du| < 1 OR |dv| < 1 relative to the row's match.
+    diffs = jnp.abs(uv_b_matches[:, None, :] - cand)  # [N, M, 2]
+    too_close = (diffs[..., 0] < 1.0) | (diffs[..., 1] < 1.0)  # [N, M]
+
+    # Perturbation: +-0.5 (random sign) + N(0, 10), one scalar per candidate,
+    # added to both u and v (reference :362-372).
+    sign = jnp.floor(jax.random.uniform(k_flip, (num_matches, M)) * 2.0) - 0.5
+    minimal = sign * 2.0 * 0.5  # +-0.5
+    noise = jax.random.normal(k_noise, (num_matches, M)) * 10.0 + minimal
+    perturb = jnp.where(too_close, noise, 0.0)
+    out = cand + perturb[..., None]
+
+    # Wrap out-of-bounds coordinates around the image edges (reference
+    # :374-402: subtract/add (dim - 1) once).
+    ub = jnp.array([W - 1.0, H - 1.0], jnp.float32)
+    out = jnp.where(out > ub, out - ub, out)
+    out = jnp.where(out < 0.0, out + ub, out)
+    # A second wrap guards the (rare) |noise| > dim case the reference ignores.
+    out = jnp.clip(out, 0.0, ub)
+    return out
+
+
+def make_blind_non_matches(
+    key,
+    mask_a,
+    matches_a_flat,
+    matches_valid,
+    mask_b,
+    num_samples: int,
+):
+    """Blind non-matches: unmatched on-object pixels in a vs random on-object
+    pixels in b.
+
+    The reference enumerates *all* mask-a pixels that did not participate in a
+    match and pairs each with a random mask-b pixel
+    (``spartan_dataset_masked.py:735-769``), which is inherently
+    dynamic-shape. The TPU-native equivalent draws a fixed-size uniform
+    sample (with replacement) from that same "unmatched mask-a" set — the
+    loss averages over the set, so a uniform subsample is an unbiased
+    estimator of the reference's loss term.
+
+    :param mask_a: [H, W] object mask for image a
+    :param matches_a_flat: [N] int32 flattened match indices into image a
+    :param matches_valid: [N] bool validity of those matches
+    :param mask_b: [H, W] object mask for image b
+    :param num_samples: static output size
+    :return: (blind_a_flat [num_samples] int32, blind_b_flat [num_samples]
+        int32, valid scalar bool)
+    """
+    H, W = mask_a.shape
+    k_a, k_b = jax.random.split(key)
+
+    mask_a_flat = (jnp.asarray(mask_a).reshape(-1) != 0)
+    # Scatter the matched pixels out of the candidate set.
+    guarded_idx = jnp.where(matches_valid, matches_a_flat, 0)
+    matched = jnp.zeros((H * W,), jnp.bool_).at[guarded_idx].set(matches_valid)
+    candidates = mask_a_flat & ~matched
+
+    from pdc_tpu.ops.sampling import sample_flat_from_mask
+
+    blind_a, ok_a = sample_flat_from_mask(k_a, candidates, num_samples)
+    uv_b, ok_b = sample_from_mask(k_b, mask_b, num_samples)
+    blind_b = uv_b[:, 1] * W + uv_b[:, 0]
+    return blind_a, blind_b, ok_a & ok_b
