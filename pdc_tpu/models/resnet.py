@@ -1,0 +1,144 @@
+"""Flax ResNet-34-8s: a dilated fully-convolutional ResNet with output
+stride 8 and a 1x1 descriptor head, bilinearly upsampled to input resolution.
+
+Behavioral rebuild of the reference backbone (the CoRL-2018 default,
+``dense_correspondence_network.py:360-383, 408-412``, which delegates to the
+pytorch-segmentation-detection ``Resnet34_8s``): a standard ResNet-34 whose
+last two stages trade stride for dilation (x2 and x4), so the feature map
+stays at 1/8 resolution, followed by a ``num_classes``-channel 1x1 conv and
+bilinear upsampling back to the input size.
+
+TPU-first details:
+  * NHWC layout throughout (native for TPU convolutions)
+  * optional bfloat16 compute with float32 params and batch stats
+  * the upsample is ``jax.image.resize`` (XLA lowers this to efficient
+    gather/matmul patterns); a fused Pallas upsample+L2-normalize epilogue
+    lives in :mod:`pdc_tpu.ops.pallas_kernels`
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class BasicBlock(nn.Module):
+    """ResNet v1 basic block with optional dilation (used by stages 3/4)."""
+
+    features: int
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        needs_proj = (x.shape[-1] != self.features) or self.stride != 1
+        residual = x
+
+        y = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(self.dilation, self.dilation)] * 2,
+            use_bias=False, dtype=self.dtype, name="conv1",
+        )(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features, (3, 3), strides=(1, 1),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(self.dilation, self.dilation)] * 2,
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn2")(y)
+
+        if needs_proj:
+            residual = nn.Conv(
+                self.features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="proj_conv",
+            )(residual)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    dtype=self.dtype, name="proj_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
+class ResNetFCN(nn.Module):
+    """Dilated ResNet FCN. ``output_stride`` of 8 dilates stages 3 and 4.
+
+    ``stage_sizes=(3, 4, 6, 3)`` is ResNet-34; (2, 2, 2, 2) is ResNet-18.
+    """
+
+    num_classes: int
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)
+    output_stride: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        in_h, in_w = x.shape[1], x.shape[2]
+        x = x.astype(self.dtype)
+
+        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="stem_bn")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
+
+        if self.output_stride == 8:
+            stage_strides = (1, 2, 1, 1)
+            stage_dilations = (1, 1, 2, 4)
+        elif self.output_stride == 16:
+            stage_strides = (1, 2, 2, 1)
+            stage_dilations = (1, 1, 1, 2)
+        else:  # classification-style, stride 32
+            stage_strides = (1, 2, 2, 2)
+            stage_dilations = (1, 1, 1, 1)
+
+        features = (64, 128, 256, 512)
+        for stage, (blocks, feats) in enumerate(zip(self.stage_sizes, features)):
+            for block in range(blocks):
+                x = BasicBlock(
+                    features=feats,
+                    stride=stage_strides[stage] if block == 0 else 1,
+                    dilation=stage_dilations[stage],
+                    dtype=self.dtype,
+                    name=f"stage{stage + 1}_block{block}",
+                )(x, train=train)
+
+        # 1x1 descriptor head (the reference's ``score_32s``-style head
+        # collapsed to the single stride-8 head Resnet34_8s actually uses)
+        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(x)
+
+        # Bilinear upsample back to input resolution (align_corners=False
+        # semantics via jax.image.resize 'linear').
+        x = x.astype(jnp.float32)
+        return _resize_bilinear(x, in_h, in_w)
+
+
+def _resize_bilinear(x, h, w):
+    import jax
+
+    return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="linear")
+
+
+def ResNet34_8s(num_classes: int, dtype=jnp.float32) -> ResNetFCN:
+    """The CoRL-2018 default backbone."""
+    return ResNetFCN(num_classes=num_classes, stage_sizes=(3, 4, 6, 3),
+                     output_stride=8, dtype=dtype)
+
+
+def ResNet18_8s(num_classes: int, dtype=jnp.float32) -> ResNetFCN:
+    return ResNetFCN(num_classes=num_classes, stage_sizes=(2, 2, 2, 2),
+                     output_stride=8, dtype=dtype)
+
+
+def ResNet101_8s(num_classes: int, dtype=jnp.float32) -> ResNetFCN:  # pragma: no cover
+    raise NotImplementedError(
+        "Bottleneck-block ResNets are planned; the reference's shipped "
+        "configs all use Resnet34_8s (training.yaml backbone block)."
+    )

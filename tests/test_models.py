@@ -1,0 +1,149 @@
+"""Model layer: shapes, jit/grad, DCN wrapper contract."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdc_tpu.models import DenseCorrespondenceNetwork, ResNet34_8s, UNet
+from pdc_tpu.models.resnet import ResNet18_8s
+
+
+def _small_config(tmp=None, d=3, h=32, w=32, backbone=None):
+    cfg = {
+        "descriptor_dimension": d,
+        "image_width": w,
+        "image_height": h,
+        "normalize": False,
+    }
+    if backbone:
+        cfg["backbone"] = backbone
+    return cfg
+
+
+def test_resnet34_8s_output_shape():
+    model = ResNet34_8s(num_classes=3)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 32, 32, 3)
+    assert y.dtype == jnp.float32
+
+
+def test_resnet_output_stride_8():
+    """The pre-upsample feature map must be 1/8 resolution (dilated stages)."""
+    model = ResNet18_8s(num_classes=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    _, intermediates = model.apply(
+        variables, x, train=False, capture_intermediates=True, mutable=["intermediates"]
+    )
+    head_out = intermediates["intermediates"]["head"]["__call__"][0]
+    assert head_out.shape[1:3] == (8, 8)  # 64 / 8
+
+
+def test_resnet_train_mode_updates_batch_stats():
+    model = ResNet18_8s(num_classes=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y, mutated = model.apply(variables, x, train=True, mutable=["batch_stats"])
+    old = jax.tree_util.tree_leaves(variables["batch_stats"])
+    new = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(not np.allclose(a, b) for a, b in zip(old, new))
+
+
+def test_unet_output_shape():
+    model = UNet(num_classes=4, base_features=8)
+    x = jnp.zeros((1, 32, 32, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, train=False)
+    y = model.apply(variables, x, train=False)
+    assert y.shape == (1, 32, 32, 4)
+
+
+def test_dcn_from_config_and_forward():
+    cfg = _small_config()
+    dcn = DenseCorrespondenceNetwork.from_config(cfg)
+    img = jax.random.normal(jax.random.PRNGKey(0), (32, 32, 3))
+    res = dcn.forward_single_image_tensor(img)
+    assert res.shape == (32, 32, 3)
+
+    pred = dcn.process_network_output(res[None], 1)
+    assert pred.shape == (1, 32 * 32, 3)
+    # flat convention: n = v*W + u
+    np.testing.assert_allclose(
+        np.asarray(pred[0, 5 * 32 + 7]), np.asarray(res[5, 7]), rtol=1e-6
+    )
+
+
+def test_dcn_normalize():
+    cfg = _small_config()
+    cfg["normalize"] = True
+    dcn = DenseCorrespondenceNetwork.from_config(cfg)
+    res = dcn.forward_single_image_tensor(
+        jax.random.normal(jax.random.PRNGKey(0), (32, 32, 3))
+    )
+    norms = np.linalg.norm(np.asarray(res), axis=-1)
+    np.testing.assert_allclose(norms, 1.0, rtol=1e-4)
+
+
+def test_dcn_forward_on_img_uint8():
+    dcn = DenseCorrespondenceNetwork.from_config(_small_config())
+    img = (np.random.RandomState(0).rand(32, 32, 3) * 255).astype(np.uint8)
+    res = dcn.forward_on_img(img)
+    assert res.shape == (32, 32, 3)
+    assert np.isfinite(np.asarray(res)).all()
+
+
+def test_dcn_checkpoint_roundtrip(tmp_path):
+    dcn = DenseCorrespondenceNetwork.from_config(_small_config())
+    img = jax.random.normal(jax.random.PRNGKey(0), (32, 32, 3))
+    before = np.asarray(dcn.forward_single_image_tensor(img))
+
+    ckpt = os.path.join(tmp_path, "000010.ckpt")
+    dcn.save_checkpoint(ckpt)
+
+    dcn2 = DenseCorrespondenceNetwork.from_config(
+        _small_config(), rng=jax.random.PRNGKey(99)
+    )
+    different = np.asarray(dcn2.forward_single_image_tensor(img))
+    assert not np.allclose(before, different)
+    dcn2.load_checkpoint(ckpt)
+    after = np.asarray(dcn2.forward_single_image_tensor(img))
+    np.testing.assert_allclose(before, after, rtol=1e-6)
+
+
+def test_dcn_from_model_folder(tmp_path):
+    from pdc_tpu.utils.yaml_io import save_yaml
+
+    folder = str(tmp_path / "model")
+    os.makedirs(folder)
+    training_cfg = {"dense_correspondence_network": _small_config()}
+    save_yaml(training_cfg, os.path.join(folder, "training.yaml"))
+
+    dcn = DenseCorrespondenceNetwork.from_config(_small_config())
+    dcn.save_checkpoint(os.path.join(folder, "000500.ckpt"))
+    dcn.save_checkpoint(os.path.join(folder, "001000.ckpt"))
+
+    loaded = DenseCorrespondenceNetwork.from_model_folder(folder)
+    assert loaded.config["model_param_filename_tail"] == "001000.ckpt"
+    img = jax.random.normal(jax.random.PRNGKey(0), (32, 32, 3))
+    np.testing.assert_allclose(
+        np.asarray(loaded.forward_single_image_tensor(img)),
+        np.asarray(dcn.forward_single_image_tensor(img)),
+        rtol=1e-6,
+    )
+
+    loaded_500 = DenseCorrespondenceNetwork.from_model_folder(folder, iteration=500)
+    assert loaded_500.config["model_param_filename_tail"] == "000500.ckpt"
+
+
+def test_find_best_match_api():
+    dcn = DenseCorrespondenceNetwork.from_config(_small_config())
+    key = jax.random.PRNGKey(3)
+    res_a = jax.random.normal(key, (32, 32, 3))
+    uv, diff, nd = DenseCorrespondenceNetwork.find_best_match((7, 5), res_a, res_a)
+    # identical images: the best match for (7,5) is itself at distance 0
+    assert tuple(np.asarray(uv)) == (7, 5)
+    assert float(diff) < 1e-5
+    assert nd.shape == (32, 32)
