@@ -1,0 +1,217 @@
+"""Device-side training-sample assembly — one jitted XLA program per batch.
+
+This replaces the reference's DataLoader-worker ``__getitem__`` pipeline
+(``spartan_dataset_masked.py:577-839`` get_within_scene_data): from raw
+(rgb, depth, mask, pose) pairs it produces normalized image tensors and all
+flat index sets (matches, masked/background/blind non-matches) with validity
+masks, entirely on device, vmapped over the batch.
+
+Stage order matches the reference:
+  1. find correspondences on the *unaugmented* depth/poses
+  2. background domain randomization (p=0.5 per image)
+  3. 180-degree flip (p=0.5 per image, indices remapped)
+  4. masked + background non-matches from the (flipped) mask of image b
+  5. blind non-matches from unmatched mask-a pixels
+  6. flatten everything to n = v*W + u
+
+Across-scene / different-object sample types share the same program: their
+match validity is forced off and their blind sets are plain mask samples
+(reference get_across_scene_data, spartan_dataset_masked.py:1056-1141), so a
+mixed batch compiles to a single executable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from pdc_tpu.losses.composer import (
+    MATCH_TYPE_DIFFERENT_OBJECT,
+    MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE,
+    SampleIndices,
+)
+from pdc_tpu.ops.augmentation import random_domain_randomize_background, random_flip_180
+from pdc_tpu.ops.correspondence import (
+    create_non_correspondences,
+    find_pixel_correspondences,
+    make_blind_non_matches,
+)
+from pdc_tpu.ops.sampling import sample_from_mask
+from pdc_tpu.utils.constants import DEFAULT_IMAGE_MEAN, DEFAULT_IMAGE_STD
+
+
+@dataclasses.dataclass(frozen=True)
+class AssemblerConfig:
+    """Static sampling configuration (sizes fix the compiled shapes).
+
+    Defaults mirror config/dense_correspondence/training/training.yaml.
+    """
+
+    num_matching_attempts: int = 10000
+    num_masked_non_matches_per_match: int = 75
+    num_background_non_matches_per_match: int = 75
+    num_blind_samples: int = 5000
+    cross_scene_num_samples: int = 10000
+    domain_randomize: bool = True
+    flip_augmentation: bool = True
+    sample_matches_only_off_mask: bool = True
+    use_image_b_mask_inv: bool = True
+    image_mean: Tuple[float, float, float] = DEFAULT_IMAGE_MEAN
+    image_std: Tuple[float, float, float] = DEFAULT_IMAGE_STD
+
+    @staticmethod
+    def from_training_config(tc: dict) -> "AssemblerConfig":
+        t = tc["training"]
+        nm = int(t["num_non_matches_per_match"])
+        return AssemblerConfig(
+            num_matching_attempts=int(t["num_matching_attempts"]),
+            num_masked_non_matches_per_match=int(nm * float(t["fraction_masked_non_matches"])),
+            num_background_non_matches_per_match=int(nm * float(t["fraction_background_non_matches"])),
+            cross_scene_num_samples=int(t.get("cross_scene_num_samples", 10000)),
+            domain_randomize=bool(t.get("domain_randomize", True)),
+            sample_matches_only_off_mask=bool(t.get("sample_matches_only_off_mask", True)),
+            use_image_b_mask_inv=bool(t.get("use_image_b_mask_inv", True)),
+        )
+
+
+def _flatten_uv(uv, W):
+    return uv[..., 1].astype(jnp.int32) * W + uv[..., 0].astype(jnp.int32)
+
+
+def assemble_sample(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
+                    mask_b, pose_b, K, match_type, cfg: AssemblerConfig):
+    """Assemble one training sample on device.
+
+    :param rgb_*: [H, W, 3] uint8
+    :param depth_*: [H, W] uint16 (mm) or float32 (m)
+    :param mask_*: [H, W]
+    :param match_type: scalar int32 (may be -1 for the empty sentinel)
+    :return: (img_a [H,W,3] f32, img_b [H,W,3] f32, SampleIndices)
+    """
+    H, W = depth_a.shape
+    keys = jax.random.split(key, 10)
+    is_within = (match_type != MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE) & (
+        match_type != MATCH_TYPE_DIFFERENT_OBJECT
+    ) & (match_type >= 0)
+
+    # 1. correspondences (geometry runs unconditionally; validity gates it)
+    uv_a, uv_b, match_valid = find_pixel_correspondences(
+        depth_a, pose_a, depth_b, pose_b, K, keys[0],
+        num_attempts=cfg.num_matching_attempts,
+        mask_a=mask_a if cfg.sample_matches_only_off_mask else None,
+    )
+    match_valid = match_valid & is_within
+
+    # 2. domain randomization (before flip, as in the reference)
+    if cfg.domain_randomize:
+        rgb_a = random_domain_randomize_background(keys[1], rgb_a, mask_a)
+        rgb_b = random_domain_randomize_background(keys[2], rgb_b, mask_b)
+
+    # 3. joint 180-degree flips; uv_a with mask_a, uv_b with mask_b
+    if cfg.flip_augmentation:
+        rgb_a, uv_a, (mask_a,) = random_flip_180(keys[3], rgb_a, uv_a, (mask_a,))
+        rgb_b, uv_b, (mask_b,) = random_flip_180(keys[4], rgb_b, uv_b, (mask_b,))
+
+    # 4. non-matches in (flipped) image b
+    masked_nm_uv = create_non_correspondences(
+        keys[5], uv_b, (H, W),
+        num_non_matches_per_match=cfg.num_masked_non_matches_per_match,
+        mask_b=mask_b,
+    )  # [N, Mm, 2]
+    bg_mask = (1 - (mask_b != 0).astype(jnp.uint8)) if cfg.use_image_b_mask_inv else None
+    background_nm_uv = create_non_correspondences(
+        keys[6], uv_b, (H, W),
+        num_non_matches_per_match=cfg.num_background_non_matches_per_match,
+        mask_b=bg_mask,
+    )
+
+    matches_a_flat = _flatten_uv(uv_a, W)
+    matches_b_flat = _flatten_uv(uv_b, W)
+
+    def replicate(flat, m):
+        # row-major repetition: each match index repeated m times, matching
+        # the reference's create_non_matches repeat-transpose-reshape
+        return jnp.repeat(flat, m)
+
+    Mm = cfg.num_masked_non_matches_per_match
+    Mb = cfg.num_background_non_matches_per_match
+    masked_nm_a = replicate(matches_a_flat, Mm)
+    masked_nm_b = _flatten_uv(masked_nm_uv.reshape(-1, 2), W)
+    masked_nm_gt = replicate(matches_b_flat, Mm)
+    masked_nm_valid = jnp.repeat(match_valid, Mm)
+
+    background_nm_a = replicate(matches_a_flat, Mb)
+    background_nm_b = _flatten_uv(background_nm_uv.reshape(-1, 2), W)
+    background_nm_gt = replicate(matches_b_flat, Mb)
+    background_nm_valid = jnp.repeat(match_valid, Mb)
+
+    # 5. blind non-matches
+    # within-scene: unmatched mask-a pixels vs random mask-b pixels
+    blind_a_w, blind_b_w, blind_ok_w = make_blind_non_matches(
+        keys[7], mask_a, matches_a_flat, match_valid, mask_b,
+        cfg.num_blind_samples,
+    )
+    # across-scene / different-object: plain mask samples on both sides
+    # (reference get_across_scene_data uses cross_scene_num_samples; we share
+    # the num_blind_samples static size and weight by validity)
+    uv_blind_a_x, ok_ax = sample_from_mask(keys[8], mask_a, cfg.num_blind_samples)
+    uv_blind_b_x, ok_bx = sample_from_mask(keys[9], mask_b, cfg.num_blind_samples)
+    blind_a_x = _flatten_uv(uv_blind_a_x, W)
+    blind_b_x = _flatten_uv(uv_blind_b_x, W)
+
+    blind_a = jnp.where(is_within, blind_a_w, blind_a_x)
+    blind_b = jnp.where(is_within, blind_b_w, blind_b_x)
+    blind_ok = jnp.where(is_within, blind_ok_w, ok_ax & ok_bx) & (match_type >= 0)
+    n_blind = blind_a.shape[0]
+    blind_valid = jnp.broadcast_to(blind_ok, (n_blind,))
+
+    # 6. normalize images
+    mean = jnp.asarray(cfg.image_mean, jnp.float32)
+    std = jnp.asarray(cfg.image_std, jnp.float32)
+    img_a = (rgb_a.astype(jnp.float32) / 255.0 - mean) / std
+    img_b = (rgb_b.astype(jnp.float32) / 255.0 - mean) / std
+
+    indices = SampleIndices(
+        matches_a=matches_a_flat,
+        matches_b=matches_b_flat,
+        matches_valid=match_valid,
+        masked_nm_a=masked_nm_a,
+        masked_nm_b=masked_nm_b,
+        masked_nm_valid=masked_nm_valid,
+        masked_nm_gt_b=masked_nm_gt,
+        background_nm_a=background_nm_a,
+        background_nm_b=background_nm_b,
+        background_nm_valid=background_nm_valid,
+        background_nm_gt_b=background_nm_gt,
+        blind_nm_a=blind_a,
+        blind_nm_b=blind_b,
+        blind_nm_valid=blind_valid,
+        match_type=match_type.astype(jnp.int32),
+    )
+    return img_a, img_b, indices
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def assemble_batch(key, batch, cfg: AssemblerConfig):
+    """vmapped :func:`assemble_sample` over a host batch dict
+    (see SpartanDataset.make_host_batch).
+
+    :return: (img_a [B,H,W,3], img_b [B,H,W,3], SampleIndices with leading
+        batch axis)
+    """
+    B = batch["rgb_a"].shape[0]
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda k, ra, da, ma, pa, rb, db, mb, pb, K, mt: assemble_sample(
+            k, ra, da, ma, pa, rb, db, mb, pb, K, mt, cfg
+        )
+    )(
+        keys,
+        batch["rgb_a"], batch["depth_a"], batch["mask_a"], batch["pose_a"],
+        batch["rgb_b"], batch["depth_b"], batch["mask_b"], batch["pose_b"],
+        batch["K"], batch["match_type"],
+    )

@@ -1,0 +1,430 @@
+"""SpartanDataset — host-side scene index + pair sampling.
+
+Rebuild of the reference dataset layer (``spartan_dataset_masked.py:39-1333``,
+``dense_correspondence_dataset_masked.py:40-723``) with the work split
+TPU-style:
+
+  * THIS module (host): scene bookkeeping from the same composite YAML config
+    format, pose preloading, pose-difference rejection sampling, PNG decode,
+    per-sample type draws, and batch assembly into stacked uint8/uint16
+    arrays.
+  * :mod:`pdc_tpu.data.assembler` (device): everything from correspondence
+    finding through augmentation and index flattening, as one jitted,
+    vmapped XLA program.
+
+Sample types and their probabilities mirror ``SpartanDatasetDataType`` (enum
+codes 0-4) and the ``data_type_probabilities`` training-config block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import random as pyrandom
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from pdc_tpu.data.scene import SceneStructure
+from pdc_tpu.geom.transforms import pose_angle, pose_distance
+from pdc_tpu.losses.composer import (
+    MATCH_TYPE_DIFFERENT_OBJECT,
+    MATCH_TYPE_MULTI_OBJECT,
+    MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE,
+    MATCH_TYPE_SINGLE_OBJECT_WITHIN_SCENE,
+    MATCH_TYPE_SYNTHETIC_MULTI_OBJECT,
+)
+from pdc_tpu.utils.yaml_io import load_yaml
+
+DATA_TYPE_NAMES = {
+    "SINGLE_OBJECT_WITHIN_SCENE": MATCH_TYPE_SINGLE_OBJECT_WITHIN_SCENE,
+    "SINGLE_OBJECT_ACROSS_SCENE": MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE,
+    "DIFFERENT_OBJECT": MATCH_TYPE_DIFFERENT_OBJECT,
+    "MULTI_OBJECT": MATCH_TYPE_MULTI_OBJECT,
+    "SYNTHETIC_MULTI_OBJECT": MATCH_TYPE_SYNTHETIC_MULTI_OBJECT,
+}
+
+
+@dataclasses.dataclass
+class SceneData:
+    """In-memory frames of one processed scene log."""
+
+    name: str
+    rgb: np.ndarray    # [N, H, W, 3] uint8
+    depth: np.ndarray  # [N, H, W] uint16 (mm)
+    mask: np.ndarray   # [N, H, W] uint8
+    poses: np.ndarray  # [N, 4, 4] float64 camera-to-world
+    K: np.ndarray      # [3, 3]
+    object_id: Optional[str] = None
+
+    @property
+    def num_frames(self):
+        return self.rgb.shape[0]
+
+    @staticmethod
+    def from_structure(structure: SceneStructure, name: str, object_id=None):
+        """Decode a scene from the pdc on-disk layout."""
+        from PIL import Image
+
+        pose_map = structure.load_pose_data()
+        indices = sorted(pose_map.keys())
+        # keep only frames whose files exist
+        indices = [
+            i for i in indices
+            if os.path.exists(structure.rgb_image_filename(i))
+            and os.path.exists(structure.depth_image_filename(i))
+        ]
+        rgb = np.stack(
+            [np.asarray(Image.open(structure.rgb_image_filename(i)).convert("RGB")) for i in indices]
+        )
+        depth = np.stack(
+            [np.asarray(Image.open(structure.depth_image_filename(i))).astype(np.uint16) for i in indices]
+        )
+        masks = []
+        for i in indices:
+            mf = structure.mask_image_filename(i)
+            if os.path.exists(mf):
+                m = np.asarray(Image.open(mf))
+                masks.append((m > 0).astype(np.uint8))
+            else:
+                masks.append(np.ones(depth.shape[1:], np.uint8))
+        K = structure.load_camera_intrinsics().K
+        poses = np.stack([pose_map[i] for i in indices])
+        return SceneData(
+            name=name, rgb=rgb, depth=depth, mask=np.stack(masks),
+            poses=poses, K=K, object_id=object_id,
+        )
+
+    @staticmethod
+    def from_synthetic(scene, name: str = "synthetic", object_id="synthetic_object"):
+        rgb, depth, mask, poses = scene.render_all()
+        return SceneData(name=name, rgb=rgb, depth=depth, mask=mask,
+                         poses=poses, K=scene.K, object_id=object_id)
+
+
+@dataclasses.dataclass
+class SamplePair:
+    """One host-assembled training pair (device assembly happens later)."""
+
+    match_type: int
+    rgb_a: np.ndarray
+    depth_a: np.ndarray
+    mask_a: np.ndarray
+    pose_a: np.ndarray
+    rgb_b: np.ndarray
+    depth_b: np.ndarray
+    mask_b: np.ndarray
+    pose_b: np.ndarray
+    K: np.ndarray
+    metadata: dict
+
+
+class SpartanDataset:
+    """Scene registry + pair sampler.
+
+    Construct either from the reference's composite dataset YAML config
+    (``config`` dict with ``logs_root_path`` +
+    ``single_object_scenes_config_files`` lists, resolved against
+    ``config_dir``/data_dir), from an expanded config, or directly from
+    in-memory :class:`SceneData` (synthetic scenes, tests).
+    """
+
+    # pose-difference rejection thresholds
+    # (dense_correspondence_dataset_masked.py:260-287)
+    POSE_DIST_THRESHOLD = 0.2   # metres
+    POSE_ANGLE_THRESHOLD = 20.0  # degrees
+
+    def __init__(self, scenes: Optional[List[SceneData]] = None, mode: str = "train",
+                 config: Optional[dict] = None, config_expanded: Optional[dict] = None,
+                 data_dir: Optional[str] = None, config_dir: Optional[str] = None,
+                 seed: int = 0):
+        self.mode = mode
+        self._rng = pyrandom.Random(seed)
+        self._np_rng = np.random.RandomState(seed)
+        self._scenes: Dict[str, SceneData] = {}
+        self._single_object_scene_names: Dict[str, List[str]] = {}  # object_id -> scenes
+        self._multi_object_scene_names: List[str] = []
+        self.config = config_expanded or config or {}
+
+        # training-config-injected parameters
+        # (dense_correspondence_dataset_masked.py:521-589 defaults)
+        self.num_matching_attempts = 10000
+        self.num_non_matches_per_match = 150
+        self.fraction_masked_non_matches = 0.5
+        self.fraction_background_non_matches = 0.5
+        self.cross_scene_num_samples = 10000
+        self.sample_matches_only_off_mask = True
+        self._use_image_b_mask_inv = True
+        self._domain_randomize = True
+        self._data_type_probabilities = {MATCH_TYPE_SINGLE_OBJECT_WITHIN_SCENE: 1.0}
+
+        if scenes is not None:
+            for s in scenes:
+                self.add_scene(s)
+        elif config is not None and "single_object_scenes_config_files" in config:
+            self._load_from_composite_config(config, data_dir, config_dir)
+
+    # -- construction ---------------------------------------------------------
+
+    def add_scene(self, scene: SceneData, multi_object: bool = False):
+        self._scenes[scene.name] = scene
+        if multi_object:
+            self._multi_object_scene_names.append(scene.name)
+        else:
+            oid = scene.object_id or scene.name
+            self._single_object_scene_names.setdefault(oid, []).append(scene.name)
+
+    def _load_from_composite_config(self, config, data_dir, config_dir):
+        """Parse the reference's composite dataset YAML
+        (spartan_dataset_masked.py:154-222): per-object scene-list YAMLs with
+        train/test splits, resolved under logs_root_path."""
+        logs_root = config.get("logs_root_path", "logs_proto")
+        data_dir = data_dir or os.environ.get("DC_DATA_DIR", ".")
+        logs_dir = os.path.join(data_dir, logs_root)
+        split_key = self.mode  # 'train' or 'test'
+
+        def load_scene_list(scene_cfg_file, multi_object):
+            path = scene_cfg_file
+            if config_dir is not None and not os.path.isabs(path):
+                path = os.path.join(config_dir, path)
+            sc = load_yaml(path)
+            object_id = sc.get("object_id", os.path.splitext(os.path.basename(path))[0])
+            for scene_name in sc.get(split_key, sc.get("scenes", [])):
+                processed = os.path.join(logs_dir, scene_name, "processed")
+                sd = SceneData.from_structure(
+                    SceneStructure(processed), scene_name, object_id=object_id
+                )
+                self.add_scene(sd, multi_object=multi_object)
+
+        for f in config.get("single_object_scenes_config_files", []):
+            load_scene_list(f, multi_object=False)
+        for f in config.get("multi_object_scenes_config_files", []):
+            load_scene_list(f, multi_object=True)
+
+    # -- parameter injection ----------------------------------------------------
+
+    def set_parameters_from_training_config(self, training_config: dict):
+        """Same contract as the reference
+        (dense_correspondence_dataset_masked.py:521-589)."""
+        t = training_config["training"]
+        self.num_matching_attempts = int(t["num_matching_attempts"])
+        self.sample_matches_only_off_mask = bool(t["sample_matches_only_off_mask"])
+        self.num_non_matches_per_match = int(t["num_non_matches_per_match"])
+        self.fraction_masked_non_matches = float(t["fraction_masked_non_matches"])
+        self.fraction_background_non_matches = float(t["fraction_background_non_matches"])
+        self._use_image_b_mask_inv = bool(t.get("use_image_b_mask_inv", True))
+        self.cross_scene_num_samples = int(t.get("cross_scene_num_samples", 10000))
+        self._domain_randomize = bool(t.get("domain_randomize", True))
+        probs = t.get("data_type_probabilities", {"SINGLE_OBJECT_WITHIN_SCENE": 1})
+        self._data_type_probabilities = {
+            DATA_TYPE_NAMES[k]: float(v) for k, v in probs.items() if float(v) > 0
+        }
+
+    @property
+    def num_masked_non_matches_per_match(self):
+        return int(self.num_non_matches_per_match * self.fraction_masked_non_matches)
+
+    @property
+    def num_background_non_matches_per_match(self):
+        return int(self.num_non_matches_per_match * self.fraction_background_non_matches)
+
+    # -- basic accessors ---------------------------------------------------------
+
+    @property
+    def scenes(self):
+        return self._scenes
+
+    @property
+    def num_scenes(self):
+        return len(self._scenes)
+
+    @property
+    def num_images_total(self):
+        return sum(s.num_frames for s in self._scenes.values())
+
+    def get_scene(self, name) -> SceneData:
+        return self._scenes[name]
+
+    def get_random_scene_name(self) -> str:
+        return self._rng.choice(sorted(self._scenes.keys()))
+
+    def get_random_single_object_scene_name(self, object_id: str) -> str:
+        return self._rng.choice(self._single_object_scene_names[object_id])
+
+    def get_random_object_id(self) -> str:
+        return self._rng.choice(sorted(self._single_object_scene_names.keys()))
+
+    def get_two_different_object_ids(self):
+        ids = sorted(self._single_object_scene_names.keys())
+        assert len(ids) >= 2, "need >= 2 objects for DIFFERENT_OBJECT samples"
+        a, b = self._rng.sample(ids, 2)
+        return a, b
+
+    def get_different_scene_for_object(self, object_id: str, scene_name: str) -> str:
+        others = [s for s in self._single_object_scene_names[object_id] if s != scene_name]
+        assert others, f"object {object_id} has only one scene"
+        return self._rng.choice(others)
+
+    def has_multi_object_scenes(self):
+        return len(self._multi_object_scene_names) > 0
+
+    def get_random_multi_object_scene_name(self) -> str:
+        return self._rng.choice(self._multi_object_scene_names)
+
+    # -- pair sampling -------------------------------------------------------------
+
+    def get_random_image_index(self, scene_name: str) -> int:
+        return self._rng.randrange(self._scenes[scene_name].num_frames)
+
+    def get_img_idx_with_different_pose(self, scene_name: str, pose_a, num_attempts: int = 50):
+        """Rejection-sample a frame whose pose differs by > 0.2 m or > 20 deg
+        (reference dense_correspondence_dataset_masked.py:260-287)."""
+        scene = self._scenes[scene_name]
+        for _ in range(num_attempts):
+            idx = self.get_random_image_index(scene_name)
+            pose_b = scene.poses[idx]
+            if (
+                pose_distance(pose_a, pose_b) > self.POSE_DIST_THRESHOLD
+                or np.degrees(pose_angle(pose_a, pose_b)) > self.POSE_ANGLE_THRESHOLD
+            ):
+                return idx
+        return None
+
+    def _draw_match_type(self) -> int:
+        types = sorted(self._data_type_probabilities.keys())
+        weights = [self._data_type_probabilities[t] for t in types]
+        return int(self._rng.choices(types, weights=weights, k=1)[0])
+
+    def sample_pair(self, match_type: Optional[int] = None) -> SamplePair:
+        """Draw one training pair according to the configured type mix.
+
+        Mirrors ``SpartanDataset.__getitem__`` (spartan_dataset_masked.py:111-
+        150): within-scene types pick two sufficiently-different views of one
+        scene; across-scene/different-object types pick frames from two
+        scenes. The geometric/index assembly happens on device afterwards.
+        """
+        if match_type is None:
+            match_type = self._draw_match_type()
+
+        if match_type in (
+            MATCH_TYPE_SINGLE_OBJECT_WITHIN_SCENE,
+            MATCH_TYPE_MULTI_OBJECT,
+            MATCH_TYPE_SYNTHETIC_MULTI_OBJECT,
+        ):
+            if match_type == MATCH_TYPE_MULTI_OBJECT and self.has_multi_object_scenes():
+                scene_name = self.get_random_multi_object_scene_name()
+            else:
+                scene_name = self.get_random_scene_name()
+            scene = self._scenes[scene_name]
+            idx_a = self.get_random_image_index(scene_name)
+            idx_b = self.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
+            if idx_b is None:
+                # empty-data path (reference training.py:304-306): signalled
+                # by match_type -1; device assembler zeroes the loss.
+                return self._empty_pair(scene, idx_a)
+            return SamplePair(
+                match_type=match_type,
+                rgb_a=scene.rgb[idx_a], depth_a=scene.depth[idx_a],
+                mask_a=scene.mask[idx_a], pose_a=scene.poses[idx_a],
+                rgb_b=scene.rgb[idx_b], depth_b=scene.depth[idx_b],
+                mask_b=scene.mask[idx_b], pose_b=scene.poses[idx_b],
+                K=scene.K,
+                metadata={"scene_name": scene_name, "image_a_idx": idx_a,
+                          "image_b_idx": idx_b, "type": match_type},
+            )
+
+        if match_type == MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE:
+            object_id = self.get_random_object_id()
+            scene_name_a = self.get_random_single_object_scene_name(object_id)
+            try:
+                scene_name_b = self.get_different_scene_for_object(object_id, scene_name_a)
+            except AssertionError:
+                scene_name_b = scene_name_a
+            meta = {"object_id": object_id}
+        elif match_type == MATCH_TYPE_DIFFERENT_OBJECT:
+            oid_a, oid_b = self.get_two_different_object_ids()
+            scene_name_a = self.get_random_single_object_scene_name(oid_a)
+            scene_name_b = self.get_random_single_object_scene_name(oid_b)
+            meta = {"object_id_a": oid_a, "object_id_b": oid_b}
+        else:
+            raise ValueError(f"unknown match_type {match_type}")
+
+        scene_a = self._scenes[scene_name_a]
+        scene_b = self._scenes[scene_name_b]
+        idx_a = self.get_random_image_index(scene_name_a)
+        idx_b = self.get_random_image_index(scene_name_b)
+        meta.update({"scene_name_a": scene_name_a, "scene_name_b": scene_name_b,
+                     "image_a_idx": idx_a, "image_b_idx": idx_b, "type": match_type})
+        return SamplePair(
+            match_type=match_type,
+            rgb_a=scene_a.rgb[idx_a], depth_a=scene_a.depth[idx_a],
+            mask_a=scene_a.mask[idx_a], pose_a=scene_a.poses[idx_a],
+            rgb_b=scene_b.rgb[idx_b], depth_b=scene_b.depth[idx_b],
+            mask_b=scene_b.mask[idx_b], pose_b=scene_b.poses[idx_b],
+            K=scene_a.K,
+            metadata=meta,
+        )
+
+    def _empty_pair(self, scene, idx_a):
+        return SamplePair(
+            match_type=-1,
+            rgb_a=scene.rgb[idx_a], depth_a=scene.depth[idx_a],
+            mask_a=scene.mask[idx_a], pose_a=scene.poses[idx_a],
+            rgb_b=scene.rgb[idx_a], depth_b=scene.depth[idx_a],
+            mask_b=scene.mask[idx_a], pose_b=scene.poses[idx_a],
+            K=scene.K,
+            metadata={"type": -1},
+        )
+
+    def make_host_batch(self, batch_size: int):
+        """Stack ``batch_size`` sampled pairs into contiguous arrays ready for
+        a single host->device transfer."""
+        pairs = [self.sample_pair() for _ in range(batch_size)]
+        return {
+            "match_type": np.asarray([p.match_type for p in pairs], np.int32),
+            "rgb_a": np.stack([p.rgb_a for p in pairs]),
+            "depth_a": np.stack([p.depth_a for p in pairs]),
+            "mask_a": np.stack([p.mask_a for p in pairs]),
+            "pose_a": np.stack([p.pose_a for p in pairs]).astype(np.float32),
+            "rgb_b": np.stack([p.rgb_b for p in pairs]),
+            "depth_b": np.stack([p.depth_b for p in pairs]),
+            "mask_b": np.stack([p.mask_b for p in pairs]),
+            "pose_b": np.stack([p.pose_b for p in pairs]).astype(np.float32),
+            "K": np.stack([p.K for p in pairs]).astype(np.float32),
+        }
+
+    # -- misc parity helpers -------------------------------------------------------
+
+    def get_rgbd_mask_pose(self, scene_name: str, img_idx: int):
+        s = self._scenes[scene_name]
+        return s.rgb[img_idx], s.depth[img_idx], s.mask[img_idx], s.poses[img_idx]
+
+    def get_image_mean(self):
+        from pdc_tpu.utils.constants import DEFAULT_IMAGE_MEAN
+
+        return list(DEFAULT_IMAGE_MEAN)
+
+    def get_image_std_dev(self):
+        from pdc_tpu.utils.constants import DEFAULT_IMAGE_STD
+
+        return list(DEFAULT_IMAGE_STD)
+
+    def rgb_image_to_tensor(self, rgb):
+        """uint8 [H,W,3] -> normalized float32 [H,W,3] (NHWC, unlike the
+        reference's CHW ToTensor+Normalize)."""
+        x = np.asarray(rgb, np.float32) / 255.0
+        mean = np.asarray(self.get_image_mean(), np.float32)
+        std = np.asarray(self.get_image_std_dev(), np.float32)
+        return (x - mean) / std
+
+    @staticmethod
+    def make_synthetic(num_scenes: int = 2, num_objects: int = 2, **scene_kwargs):
+        """Build a fully in-memory synthetic dataset (tests, benchmarks)."""
+        from pdc_tpu.data.synthetic import SyntheticScene
+
+        scenes = []
+        for i in range(num_scenes):
+            sc = SyntheticScene(seed=i, **scene_kwargs)
+            oid = f"object_{i % max(num_objects, 1)}"
+            scenes.append(SceneData.from_synthetic(sc, name=f"scene_{i:03d}", object_id=oid))
+        return SpartanDataset(scenes=scenes)

@@ -1,0 +1,562 @@
+"""Quantitative evaluation engine.
+
+Rebuild of ``evaluation.py:89-2620`` (DenseCorrespondenceEvaluation). The
+reference computes per-match statistics one pixel at a time in numpy after
+pulling descriptor images off the GPU; here ALL matches of an image pair are
+evaluated in one on-device program built around a [HW, N] distance matrix
+(one MXU matmul), then dumped to a pandas DataFrame with the reference's
+exact 23-column schema (``evaluation.py:37-61``) so downstream CSV/plot
+tooling is drop-in compatible.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdc_tpu.geom.camera import unproject_to_camera
+from pdc_tpu.geom.transforms import transform_points
+from pdc_tpu.ops.correspondence import find_pixel_correspondences
+from pdc_tpu.utils.constants import DEPTH_IM_SCALE
+from pdc_tpu.utils.yaml_io import load_yaml, save_yaml
+
+logger = logging.getLogger(__name__)
+
+# the reference's 23-column per-match schema (evaluation.py:37-61)
+EVAL_COLUMNS = [
+    "scene_name", "scene_name_a", "scene_name_b", "object_id_a", "object_id_b",
+    "img_a_idx", "img_b_idx", "is_valid", "is_valid_masked",
+    "norm_diff_descriptor_ground_truth", "norm_diff_descriptor",
+    "norm_diff_descriptor_masked", "norm_diff_ground_truth_3d",
+    "norm_diff_pred_3d", "norm_diff_pred_3d_masked",
+    "pixel_match_error_l2", "pixel_match_error_l2_masked",
+    "pixel_match_error_l1", "fraction_pixels_closer_than_ground_truth",
+    "fraction_pixels_closer_than_ground_truth_masked",
+    "average_l2_distance_for_false_positives",
+    "average_l2_distance_for_false_positives_masked", "keypoint_name",
+]
+
+ACROSS_OBJECT_COLUMNS = [
+    "scene_name_a", "scene_name_b", "img_a_idx", "img_b_idx",
+    "object_id_a", "object_id_b", "norm_diff_descriptor_best_match",
+]
+
+
+@jax.jit
+def _match_statistics_device(depth_a, depth_b, mask_b, uv_a, uv_b,
+                             pose_a, pose_b, res_a, res_b, K):
+    """All per-match statistics for one image pair, vectorized over N matches.
+
+    Mirrors ``compute_descriptor_match_statistics`` (evaluation.py:1006-1178)
+    exactly, including the masked-argmin trick (norm_diffs + (1-mask)*1e6)
+    and the Schmidt et al. fraction-closer-than-ground-truth metric — but as
+    one [HW, N] distance-matrix program instead of a python loop.
+
+    :param uv_a, uv_b: [N, 2] int32 ground-truth correspondences
+    :return: dict of [N] arrays
+    """
+    H, W, D = res_a.shape
+    N = uv_a.shape[0]
+    HW = H * W
+
+    res_b_flat = res_b.reshape(HW, D).astype(jnp.float32)
+    queries = res_a[uv_a[:, 1], uv_a[:, 0], :].astype(jnp.float32)  # [N, D]
+
+    rnorm = jnp.sum(jnp.square(res_b_flat), axis=1)  # [HW]
+    qnorm = jnp.sum(jnp.square(queries), axis=1)  # [N]
+    cross = jnp.dot(res_b_flat, queries.T, preferred_element_type=jnp.float32)
+    dist2 = jnp.maximum(rnorm[:, None] - 2.0 * cross + qnorm[None, :], 0.0)  # [HW, N]
+    dist = jnp.sqrt(dist2)
+
+    mask_b_flat = (mask_b.reshape(HW) != 0)
+    blocked = (~mask_b_flat).astype(jnp.float32) * 1e6
+    dist_masked = dist + blocked[:, None]
+
+    # best matches
+    flat_best = jnp.argmin(dist, axis=0)  # [N]
+    best_diff = jnp.take_along_axis(dist, flat_best[None, :], axis=0)[0]
+    flat_best_masked = jnp.argmin(dist_masked, axis=0)
+    best_diff_masked = jnp.take_along_axis(dist_masked, flat_best_masked[None, :], axis=0)[0]
+
+    uv_pred = jnp.stack([flat_best % W, flat_best // W], axis=-1)
+    uv_pred_masked = jnp.stack([flat_best_masked % W, flat_best_masked // W], axis=-1)
+
+    # pixel errors vs GT uv_b
+    uv_b_f = uv_b.astype(jnp.float32)
+    err = uv_b_f - uv_pred.astype(jnp.float32)
+    err_masked = uv_b_f - uv_pred_masked.astype(jnp.float32)
+    pixel_match_error_l2 = jnp.linalg.norm(err, axis=1)
+    pixel_match_error_l2_masked = jnp.linalg.norm(err_masked, axis=1)
+    pixel_match_error_l1 = jnp.sum(jnp.abs(err), axis=1)
+
+    # GT descriptor distance
+    des_b_gt = res_b[uv_b[:, 1], uv_b[:, 0], :].astype(jnp.float32)
+    norm_diff_gt = jnp.linalg.norm(queries - des_b_gt, axis=1)
+
+    # Schmidt metric: fraction of pixels closer than the GT match
+    closer = dist < norm_diff_gt[None, :]  # [HW, N]
+    n_closer = jnp.sum(closer, axis=0)
+    fraction_closer = n_closer / HW
+    closer_masked = (dist_masked < norm_diff_gt[None, :])
+    n_closer_masked = jnp.sum(closer_masked, axis=0)
+    n_mask_px = jnp.maximum(jnp.sum(mask_b_flat), 1)
+    fraction_closer_masked = n_closer_masked / n_mask_px
+
+    # average pixel distance of the false positives
+    px_u = (jnp.arange(HW) % W).astype(jnp.float32)
+    px_v = (jnp.arange(HW) // W).astype(jnp.float32)
+    d_to_gt = jnp.sqrt(
+        (px_u[:, None] - uv_b_f[None, :, 0]) ** 2
+        + (px_v[:, None] - uv_b_f[None, :, 1]) ** 2
+    )  # [HW, N]
+    avg_fp = jnp.sum(jnp.where(closer, d_to_gt, 0.0), axis=0) / jnp.maximum(n_closer, 1)
+    avg_fp = jnp.where(n_closer == 0, 0.0, avg_fp)
+    avg_fp_masked = jnp.sum(jnp.where(closer_masked, d_to_gt, 0.0), axis=0) / jnp.maximum(
+        n_closer_masked, 1
+    )
+    avg_fp_masked = jnp.where(n_closer_masked == 0, 0.0, avg_fp_masked)
+
+    # 3D positions via depth unprojection (evaluation.py:1102-1135)
+    def depth_at(depth, uv):
+        d = depth.reshape(-1).astype(jnp.float32)
+        idx = uv[:, 1].astype(jnp.int32) * W + uv[:, 0].astype(jnp.int32)
+        return jnp.take(d, idx) / DEPTH_IM_SCALE
+
+    z_a = depth_at(depth_a, uv_a)
+    z_b = depth_at(depth_b, uv_b)
+    z_pred = depth_at(depth_b, uv_pred)
+    z_pred_masked = depth_at(depth_b, uv_pred_masked)
+
+    def pos3d(uv, z, pose):
+        cam = unproject_to_camera(uv.astype(jnp.float32), z, K)
+        return transform_points(pose, cam)
+
+    p_a = pos3d(uv_a, z_a, pose_a)
+    p_b = pos3d(uv_b, z_b, pose_b)
+    p_pred = pos3d(uv_pred, z_pred, pose_b)
+    p_pred_masked = pos3d(uv_pred_masked, z_pred_masked, pose_b)
+
+    is_valid = z_pred > 0
+    is_valid_masked = z_pred_masked > 0
+    gt_depth_valid = z_b > 0
+
+    nan = jnp.nan
+    norm_diff_gt_3d = jnp.where(gt_depth_valid, jnp.linalg.norm(p_b - p_a, axis=1), nan)
+    norm_diff_pred_3d = jnp.where(
+        gt_depth_valid & is_valid, jnp.linalg.norm(p_b - p_pred, axis=1), nan
+    )
+    norm_diff_pred_3d_masked = jnp.where(
+        gt_depth_valid & is_valid_masked,
+        jnp.linalg.norm(p_b - p_pred_masked, axis=1), nan,
+    )
+
+    return {
+        "is_valid": is_valid,
+        "is_valid_masked": is_valid_masked,
+        "norm_diff_descriptor_ground_truth": norm_diff_gt,
+        "norm_diff_descriptor": best_diff,
+        "norm_diff_descriptor_masked": best_diff_masked,
+        "norm_diff_ground_truth_3d": norm_diff_gt_3d,
+        "norm_diff_pred_3d": norm_diff_pred_3d,
+        "norm_diff_pred_3d_masked": norm_diff_pred_3d_masked,
+        "pixel_match_error_l2": pixel_match_error_l2,
+        "pixel_match_error_l2_masked": pixel_match_error_l2_masked,
+        "pixel_match_error_l1": pixel_match_error_l1,
+        "fraction_pixels_closer_than_ground_truth": fraction_closer,
+        "fraction_pixels_closer_than_ground_truth_masked": fraction_closer_masked,
+        "average_l2_distance_for_false_positives": avg_fp,
+        "average_l2_distance_for_false_positives_masked": avg_fp_masked,
+        "uv_b_pred": uv_pred,
+        "uv_b_pred_masked": uv_pred_masked,
+    }
+
+
+class DenseCorrespondenceEvaluation:
+    """Top-level evaluation orchestrator (reference evaluation.py:89)."""
+
+    def __init__(self, config: Optional[dict] = None):
+        # config: network registry, as in config/evaluation/evaluation.yaml
+        self._config = config or {}
+
+    # -- core: one image pair --------------------------------------------------
+
+    @staticmethod
+    def single_same_scene_image_pair_quantitative_analysis(
+        dcn, dataset, scene_name: str, img_a_idx: int, img_b_idx: int,
+        num_matches: int = 100, rng_key=None, padded_num_attempts: int = 2000,
+    ):
+        """Evaluate ``num_matches`` GT correspondences of one image pair
+        (reference evaluation.py:861-958). Returns list of row dicts."""
+        rgb_a, depth_a, mask_a, pose_a = dataset.get_rgbd_mask_pose(scene_name, img_a_idx)
+        rgb_b, depth_b, mask_b, pose_b = dataset.get_rgbd_mask_pose(scene_name, img_b_idx)
+        scene = dataset.get_scene(scene_name)
+        K = scene.K
+
+        if rng_key is None:
+            rng_key = jax.random.PRNGKey(1)  # reference pins seed 1
+
+        uv_a, uv_b, valid = find_pixel_correspondences(
+            depth_a, pose_a, depth_b, pose_b, K, rng_key,
+            num_attempts=padded_num_attempts, mask_a=mask_a,
+        )
+        uv_a, uv_b, valid = map(np.asarray, (uv_a, uv_b, valid))
+        keep = np.where(valid)[0][:num_matches]
+        if keep.size == 0:
+            logger.info("no matches found for pair (%s, %d, %d)", scene_name,
+                        img_a_idx, img_b_idx)
+            return []
+        uv_a = uv_a[keep]
+        uv_b_int = np.round(uv_b[keep]).astype(np.int32)
+        uv_b_int[:, 0] = np.clip(uv_b_int[:, 0], 0, depth_b.shape[1] - 1)
+        uv_b_int[:, 1] = np.clip(uv_b_int[:, 1], 0, depth_b.shape[0] - 1)
+
+        res_a = dcn.forward_on_img(rgb_a)
+        res_b = dcn.forward_on_img(rgb_b)
+
+        stats = _match_statistics_device(
+            jnp.asarray(depth_a), jnp.asarray(depth_b), jnp.asarray(mask_b),
+            jnp.asarray(uv_a), jnp.asarray(uv_b_int),
+            jnp.asarray(pose_a, jnp.float32), jnp.asarray(pose_b, jnp.float32),
+            res_a, res_b, jnp.asarray(K, jnp.float32),
+        )
+        stats = {k: np.asarray(v) for k, v in stats.items()}
+
+        rows = []
+        for i in range(uv_a.shape[0]):
+            row = {c: None for c in EVAL_COLUMNS}
+            row.update(
+                scene_name=scene_name, img_a_idx=img_a_idx, img_b_idx=img_b_idx,
+                is_valid=bool(stats["is_valid"][i]),
+                is_valid_masked=bool(stats["is_valid_masked"][i]),
+            )
+            for c in EVAL_COLUMNS:
+                if c in stats and row[c] is None:
+                    row[c] = float(stats[c][i])
+            rows.append(row)
+        return rows
+
+    # -- dataset-level sweeps -----------------------------------------------------
+
+    @staticmethod
+    def evaluate_network_quantitative(
+        dcn, dataset, num_image_pairs: int = 100, num_matches_per_image_pair: int = 100,
+        seed: int = 1,
+    ):
+        """Sample image pairs (pose-difference rejection) and accumulate the
+        per-match DataFrame (reference evaluate_network, evaluation.py:475-527
+        + get_image_pair_list :174-203)."""
+        import pandas as pd
+
+        rows = []
+        key = jax.random.PRNGKey(seed)
+        for p in range(num_image_pairs):
+            scene_name = dataset.get_random_scene_name()
+            scene = dataset.get_scene(scene_name)
+            idx_a = dataset.get_random_image_index(scene_name)
+            idx_b = dataset.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
+            if idx_b is None:
+                continue
+            key, sub = jax.random.split(key)
+            rows.extend(
+                DenseCorrespondenceEvaluation.single_same_scene_image_pair_quantitative_analysis(
+                    dcn, dataset, scene_name, idx_a, idx_b,
+                    num_matches=num_matches_per_image_pair, rng_key=sub,
+                )
+            )
+        return pd.DataFrame(rows, columns=EVAL_COLUMNS)
+
+    @staticmethod
+    def evaluate_network_cross_scene(dcn, dataset, annotations: list,
+                                     compute_3d: bool = True):
+        """Evaluate on human-labeled cross-scene pixel pairs (the annotation
+        YAML format of simple_pixel_correspondence_labeler, reference
+        evaluation.py:252-301 + :349-472). ``annotations`` is a list of dicts
+        with image_a/image_b entries holding scene_name, image_idx, pixels."""
+        import pandas as pd
+
+        rows = []
+        for ann in annotations:
+            ia, ib = ann["image_a"], ann["image_b"]
+            scene_a, idx_a = ia["scene_name"], int(ia["image_idx"])
+            scene_b, idx_b = ib["scene_name"], int(ib["image_idx"])
+            rgb_a, depth_a, mask_a, pose_a = dataset.get_rgbd_mask_pose(scene_a, idx_a)
+            rgb_b, depth_b, mask_b, pose_b = dataset.get_rgbd_mask_pose(scene_b, idx_b)
+            K = dataset.get_scene(scene_a).K
+            uv_a = np.asarray([[p["u"], p["v"]] for p in ia["pixels"]], np.int32)
+            uv_b = np.asarray([[p["u"], p["v"]] for p in ib["pixels"]], np.int32)
+            res_a = dcn.forward_on_img(rgb_a)
+            res_b = dcn.forward_on_img(rgb_b)
+            stats = _match_statistics_device(
+                jnp.asarray(depth_a), jnp.asarray(depth_b), jnp.asarray(mask_b),
+                jnp.asarray(uv_a), jnp.asarray(uv_b),
+                jnp.asarray(pose_a, jnp.float32), jnp.asarray(pose_b, jnp.float32),
+                res_a, res_b, jnp.asarray(K, jnp.float32),
+            )
+            stats = {k: np.asarray(v) for k, v in stats.items()}
+            for i in range(uv_a.shape[0]):
+                row = {c: None for c in EVAL_COLUMNS}
+                row.update(
+                    scene_name_a=scene_a, scene_name_b=scene_b,
+                    img_a_idx=idx_a, img_b_idx=idx_b,
+                    is_valid=bool(stats["is_valid"][i]),
+                    is_valid_masked=bool(stats["is_valid_masked"][i]),
+                    keypoint_name=ia["pixels"][i].get("keypoint"),
+                )
+                for c in EVAL_COLUMNS:
+                    if c in stats and row[c] is None:
+                        row[c] = float(stats[c][i])
+                rows.append(row)
+        return pd.DataFrame(rows, columns=EVAL_COLUMNS)
+
+    @staticmethod
+    def evaluate_network_across_objects(dcn, dataset, num_image_pairs: int = 100,
+                                        num_queries: int = 100, seed: int = 1):
+        """Distribution of best-match descriptor distances between DIFFERENT
+        objects (reference :304-337, :976-1003): for random on-object pixels
+        of object A, the best masked match distance in an image of object B."""
+        import pandas as pd
+
+        from pdc_tpu.losses.composer import MATCH_TYPE_DIFFERENT_OBJECT
+        from pdc_tpu.ops.matching import best_matches_batch
+        from pdc_tpu.ops.sampling import sample_from_mask
+
+        rows = []
+        key = jax.random.PRNGKey(seed)
+        for p in range(num_image_pairs):
+            pair = dataset.sample_pair(match_type=MATCH_TYPE_DIFFERENT_OBJECT)
+            key, sub = jax.random.split(key)
+            uv_a, ok = sample_from_mask(sub, jnp.asarray(pair.mask_a), num_queries)
+            if not bool(ok):
+                continue
+            res_a = dcn.forward_on_img(pair.rgb_a)
+            res_b = dcn.forward_on_img(pair.rgb_b)
+            uv_a = np.asarray(uv_a)
+            queries = np.asarray(res_a)[uv_a[:, 1], uv_a[:, 0], :]
+            _, best = best_matches_batch(jnp.asarray(queries), res_b,
+                                         mask=jnp.asarray(pair.mask_b))
+            for b in np.asarray(best):
+                rows.append({
+                    "scene_name_a": pair.metadata["scene_name_a"],
+                    "scene_name_b": pair.metadata["scene_name_b"],
+                    "img_a_idx": pair.metadata["image_a_idx"],
+                    "img_b_idx": pair.metadata["image_b_idx"],
+                    "object_id_a": pair.metadata.get("object_id_a"),
+                    "object_id_b": pair.metadata.get("object_id_b"),
+                    "norm_diff_descriptor_best_match": float(b),
+                })
+        return pd.DataFrame(rows, columns=ACROSS_OBJECT_COLUMNS)
+
+    # -- descriptor statistics ------------------------------------------------------
+
+    @staticmethod
+    def compute_descriptor_statistics_on_dataset(dcn, dataset, num_images: int = 100,
+                                                 save_to_file: bool = True,
+                                                 filename: Optional[str] = None):
+        """Per-channel min/max/mean over whole images and over masks, saved
+        as descriptor_statistics.yaml (reference evaluation.py:2156-2304)."""
+
+        @jax.jit
+        def stats_one(res, mask):
+            D = res.shape[-1]
+            flat = res.reshape(-1, D)
+            m = (mask.reshape(-1) != 0)
+            n_mask = jnp.maximum(jnp.sum(m), 1)
+            masked_sum = jnp.sum(jnp.where(m[:, None], flat, 0.0), axis=0)
+            big = jnp.float32(1e9)
+            masked_min = jnp.min(jnp.where(m[:, None], flat, big), axis=0)
+            masked_max = jnp.max(jnp.where(m[:, None], flat, -big), axis=0)
+            return (
+                (jnp.min(flat, axis=0), jnp.max(flat, axis=0), jnp.mean(flat, axis=0)),
+                (masked_min, masked_max, masked_sum / n_mask),
+                jnp.sum(m) > 0,
+            )
+
+        acc = {
+            "entire_image": {"min": None, "max": None, "mean": None},
+            "mask_image": {"min": None, "max": None, "mean": None},
+        }
+        count = 0
+        for i in range(num_images):
+            scene_name = dataset.get_random_scene_name()
+            idx = dataset.get_random_image_index(scene_name)
+            rgb, _, mask, _ = dataset.get_rgbd_mask_pose(scene_name, idx)
+            res = dcn.forward_on_img(rgb)
+            entire, masked, mask_ok = stats_one(res, jnp.asarray(mask))
+            if not bool(mask_ok):
+                continue
+            count += 1
+            for dst, (mn, mx, mean) in (("entire_image", entire), ("mask_image", masked)):
+                d = acc[dst]
+                mn, mx, mean = map(np.asarray, (mn, mx, mean))
+                d["min"] = mn if d["min"] is None else np.minimum(d["min"], mn)
+                d["max"] = mx if d["max"] is None else np.maximum(d["max"], mx)
+                d["mean"] = mean if d["mean"] is None else d["mean"] + mean
+
+        stats = {}
+        for k, v in acc.items():
+            stats[k] = {
+                "min": [float(x) for x in v["min"]],
+                "max": [float(x) for x in v["max"]],
+                "mean": [float(x) for x in (v["mean"] / max(count, 1))],
+            }
+
+        if save_to_file:
+            if filename is None:
+                folder = dcn.config["path_to_network_params_folder"]
+                filename = os.path.join(folder, "descriptor_statistics.yaml")
+            save_yaml(stats, filename)
+        return stats
+
+    # -- test-loss over a dataset -----------------------------------------------------
+
+    @staticmethod
+    def compute_loss_on_dataset(dcn, dataset, loss_config: dict, num_iterations: int = 50,
+                                batch_size: int = 1, seed: int = 0):
+        """Average composed loss over sampled batches in eval mode
+        (reference evaluation.py:2072-2152)."""
+        from pdc_tpu.data.assembler import AssemblerConfig, assemble_batch
+        from pdc_tpu.losses.composer import compose_loss
+        from pdc_tpu.losses.pixelwise_contrastive import LossConfig
+
+        loss_cfg = LossConfig.from_dict(loss_config)
+        acfg = AssemblerConfig(
+            num_matching_attempts=min(dataset.num_matching_attempts, 5000),
+            num_masked_non_matches_per_match=dataset.num_masked_non_matches_per_match,
+            num_background_non_matches_per_match=dataset.num_background_non_matches_per_match,
+        )
+        W = dcn.image_shape[1]
+
+        @jax.jit
+        def eval_batch(batch, key):
+            img_a, img_b, idx = assemble_batch(key, batch, acfg)
+            B, H, Wd, _ = img_a.shape
+            imgs = jnp.concatenate([img_a, img_b], axis=0)
+            out = dcn.module.apply(dcn.variables, imgs, train=False)
+            D = out.shape[-1]
+            pred = out.reshape(2 * B, H * Wd, D)
+            terms = jax.vmap(lambda a, b, s: compose_loss(a, b, s, loss_cfg, W))(
+                pred[:B], pred[B:], idx
+            )
+            return jnp.mean(terms.loss), jnp.mean(terms.match_loss), jnp.mean(
+                terms.masked_non_match_loss + terms.background_non_match_loss
+            )
+
+        key = jax.random.PRNGKey(seed)
+        totals = np.zeros(3)
+        for _ in range(num_iterations):
+            key, sub = jax.random.split(key)
+            batch = dataset.make_host_batch(batch_size)
+            totals += np.asarray(jax.device_get(eval_batch(batch, sub)))
+        totals /= num_iterations
+        return tuple(totals)  # (loss, match_loss, non_match_loss)
+
+    # -- the full pipeline --------------------------------------------------------------
+
+    @staticmethod
+    def run_evaluation_on_network(model_folder: str, dataset=None,
+                                  num_image_pairs: int = 100,
+                                  num_matches_per_image_pair: int = 100,
+                                  output_dir: Optional[str] = None,
+                                  cross_scene_annotations: Optional[list] = None):
+        """Load a model folder, compute descriptor statistics + quantitative
+        CSVs + CDF plots/stats.yaml (reference evaluation.py:2307-2410)."""
+        from pdc_tpu.evaluation.plotting import DenseCorrespondenceEvaluationPlotter
+        from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+
+        dcn = DenseCorrespondenceNetwork.from_model_folder(model_folder)
+        assert dataset is not None, "pass the evaluation dataset"
+
+        if output_dir is None:
+            output_dir = os.path.join(model_folder, "analysis")
+        os.makedirs(output_dir, exist_ok=True)
+
+        DenseCorrespondenceEvaluation.compute_descriptor_statistics_on_dataset(
+            dcn, dataset, num_images=min(100, dataset.num_images_total),
+            save_to_file=True,
+            filename=os.path.join(model_folder, "descriptor_statistics.yaml"),
+        )
+
+        df = DenseCorrespondenceEvaluation.evaluate_network_quantitative(
+            dcn, dataset, num_image_pairs=num_image_pairs,
+            num_matches_per_image_pair=num_matches_per_image_pair,
+        )
+        csv_path = os.path.join(output_dir, "data.csv")
+        df.to_csv(csv_path)
+
+        results = {"data_csv": csv_path}
+        if len(df):
+            stats = DenseCorrespondenceEvaluationPlotter.run_on_single_dataframe(
+                csv_path, output_dir=output_dir, save=True
+            )
+            results.update(stats)
+
+        if cross_scene_annotations:
+            df_cross = DenseCorrespondenceEvaluation.evaluate_network_cross_scene(
+                dcn, dataset, cross_scene_annotations
+            )
+            cross_csv = os.path.join(output_dir, "cross_scene_data.csv")
+            df_cross.to_csv(cross_csv)
+            results["cross_scene_csv"] = cross_csv
+
+        return results
+
+    # -- SIFT baseline (host-side, optional cv2) ------------------------------------------
+
+    @staticmethod
+    def compare_against_sift(dataset, num_image_pairs: int = 50, seed: int = 1):
+        """SIFT keypoint-match 3D-error baseline (reference
+        evaluation.py:1554-1767). Host-side; requires cv2 with SIFT."""
+        try:
+            import cv2
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("OpenCV not available; SIFT baseline disabled") from e
+        import pandas as pd
+
+        sift = cv2.SIFT_create()
+        bf = cv2.BFMatcher()
+        rows = []
+        for _ in range(num_image_pairs):
+            scene_name = dataset.get_random_scene_name()
+            scene = dataset.get_scene(scene_name)
+            idx_a = dataset.get_random_image_index(scene_name)
+            idx_b = dataset.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
+            if idx_b is None:
+                continue
+            gray_a = cv2.cvtColor(scene.rgb[idx_a], cv2.COLOR_RGB2GRAY)
+            gray_b = cv2.cvtColor(scene.rgb[idx_b], cv2.COLOR_RGB2GRAY)
+            kp_a, des_a = sift.detectAndCompute(gray_a, None)
+            kp_b, des_b = sift.detectAndCompute(gray_b, None)
+            if des_a is None or des_b is None:
+                continue
+            matches = bf.knnMatch(des_a, des_b, k=2)
+            good = [m for m, n in matches if m.distance < 0.75 * n.distance]
+            for m in good:
+                ua, va = map(int, np.round(kp_a[m.queryIdx].pt))
+                ub, vb = map(int, np.round(kp_b[m.trainIdx].pt))
+                za = scene.depth[idx_a][va, ua] / DEPTH_IM_SCALE
+                zb = scene.depth[idx_b][vb, ub] / DEPTH_IM_SCALE
+                valid = za > 0 and zb > 0
+                err = np.nan
+                if valid:
+                    pa = transform_points(
+                        jnp.asarray(scene.poses[idx_a], jnp.float32),
+                        unproject_to_camera(np.array([ua, va], np.float32), np.float32(za), scene.K),
+                    )
+                    pb = transform_points(
+                        jnp.asarray(scene.poses[idx_b], jnp.float32),
+                        unproject_to_camera(np.array([ub, vb], np.float32), np.float32(zb), scene.K),
+                    )
+                    err = float(np.linalg.norm(np.asarray(pa) - np.asarray(pb)))
+                rows.append({
+                    "scene_name": scene_name, "img_a_idx": idx_a, "img_b_idx": idx_b,
+                    "is_valid": bool(valid), "norm_diff_pred_3d": err,
+                })
+        return pd.DataFrame(
+            rows, columns=["scene_name", "img_a_idx", "img_b_idx", "is_valid", "norm_diff_pred_3d"]
+        )

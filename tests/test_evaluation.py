@@ -1,0 +1,188 @@
+"""Evaluation engine tests on the synthetic scene with an identity-style
+descriptor net (descriptors == world-texture colors -> perfect matching)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdc_tpu.data.dataset import SpartanDataset
+from pdc_tpu.evaluation.evaluate import (
+    EVAL_COLUMNS,
+    DenseCorrespondenceEvaluation,
+    _match_statistics_device,
+)
+from pdc_tpu.evaluation.plotting import (
+    DenseCorrespondenceEvaluationPlotter,
+    compute_area_above_curve,
+    cdf_at_threshold,
+    empirical_cdf,
+    normalize_descriptor,
+    normalize_descriptor_pair,
+)
+
+W, H = 64, 48
+
+
+class FakeDCN:
+    """A 'perfect' descriptor network: descriptor = RGB texture / 255.
+
+    Since the synthetic texture is a function of world position, ground-truth
+    correspondences have near-zero descriptor distance.
+    """
+
+    descriptor_dimension = 3
+    image_shape = [H, W]
+    config = {}
+
+    image_mean = np.zeros(3)
+    image_std_dev = np.ones(3)
+
+    def forward_on_img(self, rgb):
+        return jnp.asarray(rgb, jnp.float32) / 255.0
+
+
+@pytest.fixture(scope="module")
+def dataset():
+    return SpartanDataset.make_synthetic(num_scenes=2, width=W, height=H, num_frames=6)
+
+
+def test_match_statistics_perfect_descriptor(dataset):
+    dcn = FakeDCN()
+    rows = DenseCorrespondenceEvaluation.single_same_scene_image_pair_quantitative_analysis(
+        dcn, dataset, "scene_000", 0, 1, num_matches=50
+    )
+    assert len(rows) > 10
+    df_cols = set(rows[0].keys())
+    assert df_cols == set(EVAL_COLUMNS)
+
+    px_err = np.array([r["pixel_match_error_l2"] for r in rows])
+    # perfect descriptors: most matches land within a few pixels (texture has
+    # some duplicate colors, so allow a tail)
+    assert np.median(px_err) < 3.0
+    gt_dd = np.array([r["norm_diff_descriptor_ground_truth"] for r in rows])
+    assert np.median(gt_dd) < 0.1
+    frac = np.array([r["fraction_pixels_closer_than_ground_truth"] for r in rows])
+    assert (frac >= 0).all() and (frac <= 1).all()
+
+
+def test_match_statistics_3d_errors(dataset):
+    dcn = FakeDCN()
+    rows = DenseCorrespondenceEvaluation.single_same_scene_image_pair_quantitative_analysis(
+        dcn, dataset, "scene_000", 0, 2, num_matches=50
+    )
+    err3d = np.array([r["norm_diff_pred_3d"] for r in rows if r["is_valid"]])
+    assert err3d.size > 5
+    assert np.nanmedian(err3d) < 0.05  # 5 cm on a 0.8 m scene
+
+
+def test_masked_stats_on_mask(dataset):
+    """Masked best match must land on the object mask."""
+    scene = dataset.get_scene("scene_000")
+    dcn = FakeDCN()
+    res_a = dcn.forward_on_img(scene.rgb[0])
+    res_b = dcn.forward_on_img(scene.rgb[1])
+    uv = np.argwhere(scene.mask[0])[:20]  # (v, u) rows
+    uv_a = np.stack([uv[:, 1], uv[:, 0]], axis=-1).astype(np.int32)
+    stats = _match_statistics_device(
+        jnp.asarray(scene.depth[0]), jnp.asarray(scene.depth[1]),
+        jnp.asarray(scene.mask[1]), jnp.asarray(uv_a), jnp.asarray(uv_a),
+        jnp.asarray(scene.poses[0], jnp.float32),
+        jnp.asarray(scene.poses[1], jnp.float32),
+        res_a, res_b, jnp.asarray(scene.K, jnp.float32),
+    )
+    uv_pred_masked = np.asarray(stats["uv_b_pred_masked"])
+    on_mask = scene.mask[1][uv_pred_masked[:, 1], uv_pred_masked[:, 0]]
+    assert (on_mask != 0).all()
+
+
+def test_evaluate_network_quantitative_dataframe(dataset):
+    df = DenseCorrespondenceEvaluation.evaluate_network_quantitative(
+        FakeDCN(), dataset, num_image_pairs=3, num_matches_per_image_pair=20
+    )
+    assert list(df.columns) == EVAL_COLUMNS
+    assert len(df) > 20
+
+
+def test_full_eval_pipeline_outputs(tmp_path, dataset):
+    df = DenseCorrespondenceEvaluation.evaluate_network_quantitative(
+        FakeDCN(), dataset, num_image_pairs=2, num_matches_per_image_pair=10
+    )
+    csv = os.path.join(tmp_path, "data.csv")
+    df.to_csv(csv)
+    stats = DenseCorrespondenceEvaluationPlotter.run_on_single_dataframe(
+        csv, output_dir=str(tmp_path), save=True
+    )
+    assert "norm_diff_3d_area_above_curve" in stats
+    assert "pck_at_10px" in stats
+    assert 0 <= stats["pck_at_10px"] <= 1
+    assert os.path.exists(os.path.join(tmp_path, "stats.yaml"))
+
+
+def test_descriptor_statistics(tmp_path, dataset):
+    stats = DenseCorrespondenceEvaluation.compute_descriptor_statistics_on_dataset(
+        FakeDCN(), dataset, num_images=5, save_to_file=True,
+        filename=os.path.join(tmp_path, "descriptor_statistics.yaml"),
+    )
+    for key in ("entire_image", "mask_image"):
+        assert set(stats[key].keys()) == {"min", "max", "mean"}
+        assert len(stats[key]["mean"]) == 3
+        for d in range(3):
+            assert stats[key]["min"][d] <= stats[key]["mean"][d] <= stats[key]["max"][d]
+    assert os.path.exists(os.path.join(tmp_path, "descriptor_statistics.yaml"))
+
+
+def test_across_object_eval(dataset):
+    df = DenseCorrespondenceEvaluation.evaluate_network_across_objects(
+        FakeDCN(), dataset, num_image_pairs=2, num_queries=10
+    )
+    assert "norm_diff_descriptor_best_match" in df.columns
+    assert len(df) > 0
+    assert (df["norm_diff_descriptor_best_match"] >= 0).all()
+
+
+def test_cross_scene_annotation_eval(dataset):
+    from pdc_tpu.apps.annotate_correspondences import make_annotation_entry
+
+    ann = make_annotation_entry(
+        "scene_000", 0, [(30, 20), (35, 25)], "scene_001", 1, [(30, 20), (35, 25)]
+    )
+    df = DenseCorrespondenceEvaluation.evaluate_network_cross_scene(
+        FakeDCN(), dataset, [ann]
+    )
+    assert len(df) == 2
+    assert df["scene_name_a"].iloc[0] == "scene_000"
+
+
+def test_cdf_and_auc_helpers():
+    data = np.array([1.0, 2.0, 3.0, 4.0])
+    x, cum = empirical_cdf(data, num_bins=4)
+    assert cum[-1] == pytest.approx(1.0)
+    assert cdf_at_threshold(data, 2.5) == pytest.approx(0.5)
+    aac = compute_area_above_curve(data, num_bins=4)
+    assert aac > 0
+
+
+def test_normalize_descriptor():
+    res = np.random.RandomState(0).randn(8, 8, 3)
+    out = normalize_descriptor(res)
+    assert out.min() >= 0 and out.max() <= 1
+    a, b = normalize_descriptor_pair(res, res + 1)
+    assert a.shape == res.shape and b.shape == res.shape
+
+
+def test_compute_loss_on_dataset(dataset):
+    from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+
+    dcn = DenseCorrespondenceNetwork.from_config({
+        "descriptor_dimension": 3, "image_width": W, "image_height": H,
+        "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+    })
+    dataset.num_matching_attempts = 128
+    dataset.num_non_matches_per_match = 4
+    loss, match_loss, non_match_loss = DenseCorrespondenceEvaluation.compute_loss_on_dataset(
+        dcn, dataset, {"M_masked": 0.5, "M_background": 0.5}, num_iterations=2
+    )
+    assert np.isfinite(loss)
