@@ -1,0 +1,105 @@
+"""Import torchvision-style ResNet weights into the Flax backbone.
+
+The reference initializes its FCN from an ImageNet-pretrained torchvision
+ResNet-34 (via the pytorch-segmentation-detection submodule,
+``dense_correspondence_network.py:373-375``). This module maps a
+torchvision-naming state dict (``conv1.weight``, ``bn1.*``,
+``layerL.B.convN.weight``, ``layerL.B.downsample.{0,1}.*``) onto
+:class:`pdc_tpu.models.resnet.ResNetFCN` parameters:
+
+  * conv kernels: torch OIHW -> flax HWIO
+  * batch norm: weight/bias -> scale/bias; running_mean/var -> batch_stats
+  * ``layer{L}.{B}`` -> ``stage{L}_block{B}``; ``downsample`` -> ``proj_*``
+
+The descriptor head has no torch counterpart and keeps its fresh init.
+Works with a ``.pth`` file (torch.load) or any mapping of numpy arrays.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Mapping
+
+import numpy as np
+
+
+def _conv(w):
+    # OIHW -> HWIO
+    return np.transpose(np.asarray(w), (2, 3, 1, 0))
+
+
+def convert_torchvision_resnet(state_dict: Mapping, variables: Dict) -> Dict:
+    """Return new ``{'params', 'batch_stats'}`` with backbone weights replaced.
+
+    :param state_dict: torchvision resnet state dict (tensors or numpy)
+    :param variables: the Flax variables pytree from ``module.init``
+    """
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)()) for k, v in state_dict.items()}
+
+    import copy
+
+    params = copy.deepcopy(
+        {k: dict(v) if isinstance(v, Mapping) else v for k, v in variables["params"].items()}
+    )
+    stats = copy.deepcopy(
+        {k: dict(v) if isinstance(v, Mapping) else v for k, v in variables["batch_stats"].items()}
+    )
+
+    def set_conv(flax_name, torch_name):
+        w = _conv(sd[torch_name + ".weight"])
+        assert params[flax_name]["kernel"].shape == w.shape, (
+            flax_name, params[flax_name]["kernel"].shape, w.shape
+        )
+        params[flax_name]["kernel"] = w
+
+    def set_bn(flax_name, torch_name):
+        params[flax_name]["scale"] = sd[torch_name + ".weight"]
+        params[flax_name]["bias"] = sd[torch_name + ".bias"]
+        stats[flax_name]["mean"] = sd[torch_name + ".running_mean"]
+        stats[flax_name]["var"] = sd[torch_name + ".running_var"]
+
+    set_conv("stem_conv", "conv1")
+    set_bn("stem_bn", "bn1")
+
+    stage = 0
+    while f"layer{stage + 1}.0.conv1.weight" in sd:
+        stage += 1
+        block = 0
+        while f"layer{stage}.{block}.conv1.weight" in sd:
+            prefix = f"layer{stage}.{block}"
+            fx = f"stage{stage}_block{block}"
+            # nested module layout: params[fx] is a dict of submodules
+            blk_params = params[fx]
+            blk_stats = stats[fx]
+
+            def bset_conv(sub, tname):
+                w = _conv(sd[tname + ".weight"])
+                assert blk_params[sub]["kernel"].shape == w.shape
+                blk_params[sub]["kernel"] = w
+
+            def bset_bn(sub, tname):
+                blk_params[sub]["scale"] = sd[tname + ".weight"]
+                blk_params[sub]["bias"] = sd[tname + ".bias"]
+                blk_stats[sub]["mean"] = sd[tname + ".running_mean"]
+                blk_stats[sub]["var"] = sd[tname + ".running_var"]
+
+            bset_conv("conv1", prefix + ".conv1")
+            bset_bn("bn1", prefix + ".bn1")
+            bset_conv("conv2", prefix + ".conv2")
+            bset_bn("bn2", prefix + ".bn2")
+            if prefix + ".downsample.0.weight" in sd:
+                bset_conv("proj_conv", prefix + ".downsample.0")
+                bset_bn("proj_bn", prefix + ".downsample.1")
+            block += 1
+
+    return {"params": params, "batch_stats": stats}
+
+
+def load_pretrained_backbone(dcn, pth_path: str):
+    """Load a torchvision resnet ``.pth`` into a DCN in place."""
+    import torch
+
+    sd = torch.load(pth_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    dcn.variables = convert_torchvision_resnet(sd, dcn.variables)
+    return dcn

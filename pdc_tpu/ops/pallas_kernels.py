@@ -1,0 +1,124 @@
+"""Pallas TPU kernels for the hot inference ops.
+
+``pallas_best_match`` — streaming batched best-match: Q query descriptors
+against a [HW, D] descriptor image. The XLA formulation
+(:func:`pdc_tpu.ops.matching.best_matches_batch`) materializes the [HW, Q]
+distance matrix in HBM (e.g. 307200 x 1024 x 4 B = 1.2 GB for a kilo-query
+batch); this kernel streams the descriptor image through VMEM tile by tile,
+keeping a running (min, argmin) per query in VMEM scratch — HBM traffic drops
+to one read of the descriptor image, and the cross term rides the MXU.
+
+Layout: the descriptor image is passed transposed [D, HW] so the long pixel
+axis is the lane dimension (128-wide); D (3-16) pads into sublanes. Queries
+[Q, D] stay fully resident.
+
+Falls back to interpret mode off-TPU so the same code path is testable on CPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE_TILE = 2048  # pixels per grid step; multiple of 128
+
+
+def _best_match_kernel(resT_ref, q_ref, rnorm_ref, minval_ref, minidx_ref):
+    """One grid step: tile of the pixel axis.
+
+    resT_ref: [D, T]   transposed descriptor tile
+    q_ref:    [Q, D]   queries (full)
+    rnorm_ref:[1, T]   per-pixel squared norms for this tile
+    minval_ref/minidx_ref: [Q, 1] running outputs (same block every step)
+    """
+    t = pl.program_id(0)
+
+    @pl.when(t == 0)
+    def _():
+        minval_ref[:] = jnp.full_like(minval_ref[:], 3.4e38)
+        minidx_ref[:] = jnp.zeros_like(minidx_ref[:])
+
+    scores = jnp.dot(
+        q_ref[:], resT_ref[:], preferred_element_type=jnp.float32
+    )  # [Q, T] on the MXU
+    # squared distance minus the per-query constant ||q||^2 (added back by
+    # the caller; it does not affect the argmin)
+    dist2 = rnorm_ref[:] - 2.0 * scores  # [Q, T] via broadcast of [1, T]
+
+    local_min = jnp.min(dist2, axis=1, keepdims=True)  # [Q, 1]
+    local_arg = jnp.argmin(dist2, axis=1).reshape(-1, 1)  # [Q, 1]
+    T = resT_ref.shape[1]
+    global_arg = (t * T + local_arg).astype(jnp.int32)
+
+    better = local_min < minval_ref[:]
+    minval_ref[:] = jnp.where(better, local_min, minval_ref[:])
+    minidx_ref[:] = jnp.where(better, global_arg, minidx_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_best_match(res_flat, queries, interpret: bool = False):
+    """Streaming best match.
+
+    :param res_flat: [HW, D] descriptor image (flattened, n = v*W + u)
+    :param queries: [Q, D]
+    :return: (flat_idx [Q] int32, dist [Q] float32)
+    """
+    HW, D = res_flat.shape
+    Q = queries.shape[0]
+    res_flat = res_flat.astype(jnp.float32)
+    queries = queries.astype(jnp.float32)
+
+    T = min(LANE_TILE, HW)
+    # pad the pixel axis to a multiple of T with +inf-distance sentinels
+    pad = (-HW) % T
+    resT = jnp.concatenate(
+        [res_flat.T, jnp.zeros((D, pad), jnp.float32)], axis=1
+    )  # [D, HW+pad]
+    rnorm = jnp.sum(jnp.square(res_flat), axis=1)
+    rnorm = jnp.concatenate([rnorm, jnp.full((pad,), 3.4e38, jnp.float32)])
+    rnorm = rnorm.reshape(1, -1)
+
+    grid = (resT.shape[1] // T,)
+    minval, minidx = pl.pallas_call(
+        _best_match_kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((D, T), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, D), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Q, 1), lambda t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Q, 1), jnp.float32),
+            jax.ShapeDtypeStruct((Q, 1), jnp.int32),
+        ],
+        interpret=interpret,
+    )(resT, queries, rnorm)
+
+    qnorm = jnp.sum(jnp.square(queries), axis=1)
+    dist = jnp.sqrt(jnp.maximum(minval[:, 0] + qnorm, 0.0))
+    return minidx[:, 0], dist
+
+
+def best_match_auto(res, queries, mask=None):
+    """Dispatch: Pallas kernel on TPU, XLA formulation elsewhere.
+
+    :param res: [H, W, D]
+    :return: (uv [Q, 2] int32, dist [Q])
+    """
+    from pdc_tpu.ops.matching import best_matches_batch
+
+    H, W, D = res.shape
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if mask is not None or not on_tpu:
+        return best_matches_batch(queries, res, mask=mask)
+    flat_idx, dist = pallas_best_match(res.reshape(H * W, D), queries)
+    uv = jnp.stack([flat_idx % W, flat_idx // W], axis=-1)
+    return uv, dist

@@ -117,7 +117,7 @@ def make_pixel_sharded_best_match(mesh: Mesh, axis: str = "data"):
     :return: jitted fn(res_flat [HW, D] sharded on axis 0, queries [Q, D]
         replicated) -> (flat_idx [Q], dist [Q]) replicated
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     n = mesh.shape[axis]
     repl = NamedSharding(mesh, P())
@@ -141,9 +141,20 @@ def make_pixel_sharded_best_match(mesh: Mesh, axis: str = "data"):
         best_min = jnp.take_along_axis(all_min, best_shard[None, :], axis=0)[0]
         return best_idx.astype(jnp.int32), jnp.sqrt(jnp.maximum(best_min, 0.0))
 
-    mapped = shard_map(
-        local, mesh=mesh,
-        in_specs=(P(axis, None), P()),
-        out_specs=(P(), P()),
-    )
+    # the outputs are replicated by construction (all_gather + identical
+    # reduction on every shard) but the static VMA check cannot prove it
+    try:
+        mapped = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )
+    except TypeError:  # older jax: the kwarg was check_rep
+        mapped = shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis, None), P()),
+            out_specs=(P(), P()),
+            check_rep=False,
+        )
     return jax.jit(mapped, in_shardings=(shard, repl), out_shardings=(repl, repl))

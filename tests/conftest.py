@@ -3,7 +3,11 @@ without TPU hardware. Must run before jax is imported anywhere."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment points at a TPU (JAX_PLATFORMS=axon):
+# the suite must be hardware-independent and needs 8 virtual devices. The
+# axon sitecustomize registers its platform at interpreter start, so the env
+# var alone is not enough — override the jax config after import too.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +16,7 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np  # noqa: E402
