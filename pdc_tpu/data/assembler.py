@@ -34,7 +34,11 @@ from pdc_tpu.losses.composer import (
     MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE,
     SampleIndices,
 )
-from pdc_tpu.ops.augmentation import random_domain_randomize_background, random_flip_180
+from pdc_tpu.ops.augmentation import (
+    merge_images_with_occlusions,
+    random_domain_randomize_background,
+    random_flip_180,
+)
 from pdc_tpu.ops.correspondence import (
     create_non_correspondences,
     find_pixel_correspondences,
@@ -60,6 +64,9 @@ class AssemblerConfig:
     flip_augmentation: bool = True
     sample_matches_only_off_mask: bool = True
     use_image_b_mask_inv: bool = True
+    # static switch: when True the host batch carries a second image pair and
+    # SYNTHETIC_MULTI_OBJECT samples are composited on device
+    enable_synthetic_multi_object: bool = False
     image_mean: Tuple[float, float, float] = DEFAULT_IMAGE_MEAN
     image_std: Tuple[float, float, float] = DEFAULT_IMAGE_STD
 
@@ -67,6 +74,7 @@ class AssemblerConfig:
     def from_training_config(tc: dict) -> "AssemblerConfig":
         t = tc["training"]
         nm = int(t["num_non_matches_per_match"])
+        probs = t.get("data_type_probabilities", {})
         return AssemblerConfig(
             num_matching_attempts=int(t["num_matching_attempts"]),
             num_masked_non_matches_per_match=int(nm * float(t["fraction_masked_non_matches"])),
@@ -75,6 +83,9 @@ class AssemblerConfig:
             domain_randomize=bool(t.get("domain_randomize", True)),
             sample_matches_only_off_mask=bool(t.get("sample_matches_only_off_mask", True)),
             use_image_b_mask_inv=bool(t.get("use_image_b_mask_inv", True)),
+            enable_synthetic_multi_object=float(
+                probs.get("SYNTHETIC_MULTI_OBJECT", 0)
+            ) > 0,
         )
 
 
@@ -195,23 +206,147 @@ def assemble_sample(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
     return img_a, img_b, indices
 
 
+def assemble_synthetic_multi_object_sample(key, p1, p2, cfg: AssemblerConfig):
+    """Composite two within-scene pairs into one synthetic multi-object pair.
+
+    Rebuild of ``get_synthetic_multi_object_within_scene_data``
+    (spartan_dataset_masked.py:890-1053): pair 1 = two views (a1, a2) of
+    scene A, pair 2 = two views (b1, b2) of scene B. Merged image 1 =
+    composite(a1, b1); merged image 2 = composite(a2, b2); matches are the
+    concatenation of both pairs' correspondences, invalidated wherever the
+    foreground object of either composite occludes them. Blind non-matches
+    are empty for this type (reference returns the empty sentinel).
+
+    :param p1, p2: dicts with rgb_a/depth_a/mask_a/pose_a/rgb_b/.../K for the
+        scene-A pair and the scene-B pair
+    :return: (img_1, img_2, SampleIndices) with the same static shapes as
+        :func:`assemble_sample`
+    """
+    H, W = p1["depth_a"].shape
+    N = cfg.num_matching_attempts
+    half = N // 2
+    keys = jax.random.split(key, 8)
+
+    uv_a1, uv_a2, valid_a = find_pixel_correspondences(
+        p1["depth_a"], p1["pose_a"], p1["depth_b"], p1["pose_b"], p1["K"],
+        keys[0], num_attempts=half, mask_a=p1["mask_a"],
+    )
+    uv_b1, uv_b2, valid_b = find_pixel_correspondences(
+        p2["depth_a"], p2["pose_a"], p2["depth_b"], p2["pose_b"], p2["K"],
+        keys[1], num_attempts=half, mask_a=p2["mask_a"],
+    )
+
+    # composite view 1 (a1 + b1) and view 2 (a2 + b2); independent coins
+    merged_1, merged_mask_1, (pa1, valid_a), (pb1, valid_b) = merge_images_with_occlusions(
+        keys[2], p1["rgb_a"], p2["rgb_a"], p1["mask_a"], p2["mask_a"],
+        (uv_a1, uv_a2), (uv_b1, uv_b2), valid_a, valid_b,
+    )
+    merged_2, merged_mask_2, (pa2, valid_a), (pb2, valid_b) = merge_images_with_occlusions(
+        keys[3], p1["rgb_b"], p2["rgb_b"], p1["mask_b"], p2["mask_b"],
+        (uv_a2, uv_a1), (uv_b2, uv_b1), valid_a, valid_b,
+    )
+
+    # concatenated matches in the merged images (a-pair then b-pair)
+    uv_1 = jnp.concatenate([uv_a1, uv_b1], axis=0)   # view-1 pixels [N, 2]
+    uv_2 = jnp.concatenate([uv_a2.astype(jnp.float32),
+                            uv_b2.astype(jnp.float32)], axis=0)
+    match_valid = jnp.concatenate([valid_a, valid_b], axis=0)
+
+    matches_1_flat = _flatten_uv(uv_1, W)
+    matches_2_flat = _flatten_uv(uv_2, W)
+
+    masked_nm_uv = create_non_correspondences(
+        keys[4], uv_2, (H, W),
+        num_non_matches_per_match=cfg.num_masked_non_matches_per_match,
+        mask_b=merged_mask_2,
+    )
+    bg_mask = (1 - (merged_mask_2 != 0).astype(jnp.uint8)) if cfg.use_image_b_mask_inv else None
+    background_nm_uv = create_non_correspondences(
+        keys[5], uv_2, (H, W),
+        num_non_matches_per_match=cfg.num_background_non_matches_per_match,
+        mask_b=bg_mask,
+    )
+
+    Mm = cfg.num_masked_non_matches_per_match
+    Mb = cfg.num_background_non_matches_per_match
+    indices = SampleIndices(
+        matches_a=matches_1_flat,
+        matches_b=matches_2_flat,
+        matches_valid=match_valid,
+        masked_nm_a=jnp.repeat(matches_1_flat, Mm),
+        masked_nm_b=_flatten_uv(masked_nm_uv.reshape(-1, 2), W),
+        masked_nm_valid=jnp.repeat(match_valid, Mm),
+        masked_nm_gt_b=jnp.repeat(matches_2_flat, Mm),
+        background_nm_a=jnp.repeat(matches_1_flat, Mb),
+        background_nm_b=_flatten_uv(background_nm_uv.reshape(-1, 2), W),
+        background_nm_valid=jnp.repeat(match_valid, Mb),
+        background_nm_gt_b=jnp.repeat(matches_2_flat, Mb),
+        blind_nm_a=jnp.zeros((cfg.num_blind_samples,), jnp.int32),
+        blind_nm_b=jnp.zeros((cfg.num_blind_samples,), jnp.int32),
+        blind_nm_valid=jnp.zeros((cfg.num_blind_samples,), bool),
+        match_type=jnp.asarray(4, jnp.int32),  # SYNTHETIC_MULTI_OBJECT
+    )
+
+    mean = jnp.asarray(cfg.image_mean, jnp.float32)
+    std = jnp.asarray(cfg.image_std, jnp.float32)
+    img_1 = (merged_1.astype(jnp.float32) / 255.0 - mean) / std
+    img_2 = (merged_2.astype(jnp.float32) / 255.0 - mean) / std
+    return img_1, img_2, indices
+
+
+def _select_sample(use_b, a, b):
+    return jax.tree_util.tree_map(
+        lambda x, y: jnp.where(use_b, y, x), a, b
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def assemble_batch(key, batch, cfg: AssemblerConfig):
     """vmapped :func:`assemble_sample` over a host batch dict
     (see SpartanDataset.make_host_batch).
+
+    With ``cfg.enable_synthetic_multi_object`` the batch carries a second
+    image pair (``*_2`` keys); SYNTHETIC_MULTI_OBJECT rows take the composited
+    path, everything else the standard one (both are computed, the result
+    selected per sample — one compiled executable for mixed batches).
 
     :return: (img_a [B,H,W,3], img_b [B,H,W,3], SampleIndices with leading
         batch axis)
     """
     B = batch["rgb_a"].shape[0]
     keys = jax.random.split(key, B)
-    return jax.vmap(
-        lambda k, ra, da, ma, pa, rb, db, mb, pb, K, mt: assemble_sample(
-            k, ra, da, ma, pa, rb, db, mb, pb, K, mt, cfg
+
+    def one(k, ra, da, ma, pa, rb, db, mb, pb, K, mt,
+            ra2=None, da2=None, ma2=None, pa2=None,
+            rb2=None, db2=None, mb2=None, pb2=None, K2=None):
+        base = assemble_sample(k, ra, da, ma, pa, rb, db, mb, pb, K, mt, cfg)
+        if not cfg.enable_synthetic_multi_object:
+            return base
+        smo = assemble_synthetic_multi_object_sample(
+            k,
+            {"rgb_a": ra, "depth_a": da, "mask_a": ma, "pose_a": pa,
+             "rgb_b": rb, "depth_b": db, "mask_b": mb, "pose_b": pb, "K": K},
+            {"rgb_a": ra2, "depth_a": da2, "mask_a": ma2, "pose_a": pa2,
+             "rgb_b": rb2, "depth_b": db2, "mask_b": mb2, "pose_b": pb2, "K": K2},
+            cfg,
         )
-    )(
+        is_smo = mt == 4
+        img_a, img_b, idx = _select_sample(is_smo, base, smo)
+        # keep the true match_type (selection above would also work, but -1
+        # empties must survive)
+        idx = idx._replace(match_type=mt.astype(jnp.int32))
+        return img_a, img_b, idx
+
+    args = [
         keys,
         batch["rgb_a"], batch["depth_a"], batch["mask_a"], batch["pose_a"],
         batch["rgb_b"], batch["depth_b"], batch["mask_b"], batch["pose_b"],
         batch["K"], batch["match_type"],
-    )
+    ]
+    if cfg.enable_synthetic_multi_object:
+        args += [
+            batch["rgb_a_2"], batch["depth_a_2"], batch["mask_a_2"], batch["pose_a_2"],
+            batch["rgb_b_2"], batch["depth_b_2"], batch["mask_b_2"], batch["pose_b_2"],
+            batch["K_2"],
+        ]
+    return jax.vmap(one)(*args)

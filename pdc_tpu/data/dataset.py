@@ -117,6 +117,8 @@ class SamplePair:
     pose_b: np.ndarray
     K: np.ndarray
     metadata: dict
+    # second within-scene pair (SYNTHETIC_MULTI_OBJECT compositing only)
+    second: "SamplePair | None" = None
 
 
 class SpartanDataset:
@@ -306,32 +308,33 @@ class SpartanDataset:
         if match_type is None:
             match_type = self._draw_match_type()
 
+        if match_type == MATCH_TYPE_SYNTHETIC_MULTI_OBJECT:
+            # two within-scene pairs of two different objects, composited on
+            # device (reference get_synthetic_multi_object_within_scene_data,
+            # spartan_dataset_masked.py:890-1053)
+            try:
+                oid_a, oid_b = self.get_two_different_object_ids()
+            except AssertionError:
+                oid_a = oid_b = self.get_random_object_id()
+            scene_a = self.get_random_single_object_scene_name(oid_a)
+            scene_b = self.get_random_single_object_scene_name(oid_b)
+            p1 = self._within_scene_pair(scene_a, MATCH_TYPE_SYNTHETIC_MULTI_OBJECT)
+            p2 = self._within_scene_pair(scene_b, MATCH_TYPE_SYNTHETIC_MULTI_OBJECT)
+            if p1.match_type == -1 or p2.match_type == -1:
+                return p1 if p1.match_type == -1 else p2
+            p1.metadata.update(object_id_a=oid_a, object_id_b=oid_b,
+                               scene_name_b=scene_b)
+            return dataclasses.replace(p1, second=p2)
+
         if match_type in (
             MATCH_TYPE_SINGLE_OBJECT_WITHIN_SCENE,
             MATCH_TYPE_MULTI_OBJECT,
-            MATCH_TYPE_SYNTHETIC_MULTI_OBJECT,
         ):
             if match_type == MATCH_TYPE_MULTI_OBJECT and self.has_multi_object_scenes():
                 scene_name = self.get_random_multi_object_scene_name()
             else:
                 scene_name = self.get_random_scene_name()
-            scene = self._scenes[scene_name]
-            idx_a = self.get_random_image_index(scene_name)
-            idx_b = self.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
-            if idx_b is None:
-                # empty-data path (reference training.py:304-306): signalled
-                # by match_type -1; device assembler zeroes the loss.
-                return self._empty_pair(scene, idx_a)
-            return SamplePair(
-                match_type=match_type,
-                rgb_a=scene.rgb[idx_a], depth_a=scene.depth[idx_a],
-                mask_a=scene.mask[idx_a], pose_a=scene.poses[idx_a],
-                rgb_b=scene.rgb[idx_b], depth_b=scene.depth[idx_b],
-                mask_b=scene.mask[idx_b], pose_b=scene.poses[idx_b],
-                K=scene.K,
-                metadata={"scene_name": scene_name, "image_a_idx": idx_a,
-                          "image_b_idx": idx_b, "type": match_type},
-            )
+            return self._within_scene_pair(scene_name, match_type)
 
         if match_type == MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE:
             object_id = self.get_random_object_id()
@@ -365,6 +368,27 @@ class SpartanDataset:
             metadata=meta,
         )
 
+    def _within_scene_pair(self, scene_name: str, match_type: int) -> SamplePair:
+        """Two sufficiently-different views of one scene (or the empty
+        sentinel when the pose-rejection sampler fails)."""
+        scene = self._scenes[scene_name]
+        idx_a = self.get_random_image_index(scene_name)
+        idx_b = self.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
+        if idx_b is None:
+            # empty-data path (reference training.py:304-306): signalled by
+            # match_type -1; the device assembler zeroes the loss.
+            return self._empty_pair(scene, idx_a)
+        return SamplePair(
+            match_type=match_type,
+            rgb_a=scene.rgb[idx_a], depth_a=scene.depth[idx_a],
+            mask_a=scene.mask[idx_a], pose_a=scene.poses[idx_a],
+            rgb_b=scene.rgb[idx_b], depth_b=scene.depth[idx_b],
+            mask_b=scene.mask[idx_b], pose_b=scene.poses[idx_b],
+            K=scene.K,
+            metadata={"scene_name": scene_name, "image_a_idx": idx_a,
+                      "image_b_idx": idx_b, "type": match_type},
+        )
+
     def _empty_pair(self, scene, idx_a):
         return SamplePair(
             match_type=-1,
@@ -376,11 +400,15 @@ class SpartanDataset:
             metadata={"type": -1},
         )
 
-    def make_host_batch(self, batch_size: int):
+    def make_host_batch(self, batch_size: int, with_second_pair: bool = None):
         """Stack ``batch_size`` sampled pairs into contiguous arrays ready for
-        a single host->device transfer."""
+        a single host->device transfer. When the type mix includes
+        SYNTHETIC_MULTI_OBJECT (or ``with_second_pair``), ``*_2`` arrays
+        carry each sample's second pair (self-paired for other types)."""
         pairs = [self.sample_pair() for _ in range(batch_size)]
-        return {
+        if with_second_pair is None:
+            with_second_pair = MATCH_TYPE_SYNTHETIC_MULTI_OBJECT in self._data_type_probabilities
+        batch = {
             "match_type": np.asarray([p.match_type for p in pairs], np.int32),
             "rgb_a": np.stack([p.rgb_a for p in pairs]),
             "depth_a": np.stack([p.depth_a for p in pairs]),
@@ -392,6 +420,20 @@ class SpartanDataset:
             "pose_b": np.stack([p.pose_b for p in pairs]).astype(np.float32),
             "K": np.stack([p.K for p in pairs]).astype(np.float32),
         }
+        if with_second_pair:
+            seconds = [p.second if p.second is not None else p for p in pairs]
+            batch.update({
+                "rgb_a_2": np.stack([p.rgb_a for p in seconds]),
+                "depth_a_2": np.stack([p.depth_a for p in seconds]),
+                "mask_a_2": np.stack([p.mask_a for p in seconds]),
+                "pose_a_2": np.stack([p.pose_a for p in seconds]).astype(np.float32),
+                "rgb_b_2": np.stack([p.rgb_b for p in seconds]),
+                "depth_b_2": np.stack([p.depth_b for p in seconds]),
+                "mask_b_2": np.stack([p.mask_b for p in seconds]),
+                "pose_b_2": np.stack([p.pose_b for p in seconds]).astype(np.float32),
+                "K_2": np.stack([p.K for p in seconds]).astype(np.float32),
+            })
+        return batch
 
     # -- misc parity helpers -------------------------------------------------------
 
