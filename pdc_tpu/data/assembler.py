@@ -67,6 +67,12 @@ class AssemblerConfig:
     # static switch: when True the host batch carries a second image pair and
     # SYNTHETIC_MULTI_OBJECT samples are composited on device
     enable_synthetic_multi_object: bool = False
+    # matrix (pooled) loss mode: emit shared non-match pools instead of
+    # per-match index lists (see pdc_tpu.losses.matrix_loss) — the TPU-fast
+    # training path
+    use_matrix_loss: bool = True
+    masked_pool_size: int = 1024
+    background_pool_size: int = 1024
     image_mean: Tuple[float, float, float] = DEFAULT_IMAGE_MEAN
     image_std: Tuple[float, float, float] = DEFAULT_IMAGE_STD
 
@@ -204,6 +210,108 @@ def assemble_sample(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
         match_type=match_type.astype(jnp.int32),
     )
     return img_a, img_b, indices
+
+
+def assemble_sample_matrix(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
+                           mask_b, pose_b, K, match_type, cfg: AssemblerConfig):
+    """Matrix-loss variant of :func:`assemble_sample`: same correspondence /
+    augmentation pipeline, but non-matches are emitted as shared candidate
+    POOLS (exact inverse-CDF samples of the object mask and its complement)
+    instead of 1.5M per-match index lists. Consumed by
+    :func:`pdc_tpu.losses.matrix_loss.compose_loss_matrix`.
+    """
+    from pdc_tpu.losses.matrix_loss import MatrixSampleIndices
+
+    H, W = depth_a.shape
+    keys = jax.random.split(key, 10)
+    is_within = (match_type != MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE) & (
+        match_type != MATCH_TYPE_DIFFERENT_OBJECT
+    ) & (match_type >= 0)
+
+    uv_a, uv_b, match_valid = find_pixel_correspondences(
+        depth_a, pose_a, depth_b, pose_b, K, keys[0],
+        num_attempts=cfg.num_matching_attempts,
+        mask_a=mask_a if cfg.sample_matches_only_off_mask else None,
+    )
+    match_valid = match_valid & is_within
+
+    if cfg.domain_randomize:
+        rgb_a = random_domain_randomize_background(keys[1], rgb_a, mask_a)
+        rgb_b = random_domain_randomize_background(keys[2], rgb_b, mask_b)
+
+    if cfg.flip_augmentation:
+        rgb_a, uv_a, (mask_a,) = random_flip_180(keys[3], rgb_a, uv_a, (mask_a,))
+        rgb_b, uv_b, (mask_b,) = random_flip_180(keys[4], rgb_b, uv_b, (mask_b,))
+
+    matches_a_flat = _flatten_uv(uv_a, W)
+    matches_b_flat = _flatten_uv(uv_b, W)
+
+    # shared non-match pools over the (flipped) image-b masks
+    pool_m_uv, pool_m_ok = sample_from_mask(keys[5], mask_b, cfg.masked_pool_size)
+    masked_pool = _flatten_uv(pool_m_uv, W)
+    masked_pool_valid = jnp.broadcast_to(pool_m_ok, (cfg.masked_pool_size,))
+
+    if cfg.use_image_b_mask_inv:
+        inv_mask = 1 - (mask_b != 0).astype(jnp.uint8)
+        pool_b_uv, pool_b_ok = sample_from_mask(
+            keys[6], inv_mask, cfg.background_pool_size
+        )
+    else:
+        from pdc_tpu.ops.sampling import sample_uniform_pixels
+
+        pool_b_uv = sample_uniform_pixels(keys[6], W, H, cfg.background_pool_size)
+        pool_b_ok = jnp.asarray(True)
+    background_pool = _flatten_uv(pool_b_uv, W)
+    background_pool_valid = jnp.broadcast_to(pool_b_ok, (cfg.background_pool_size,))
+
+    blind_a_w, blind_b_w, blind_ok_w = make_blind_non_matches(
+        keys[7], mask_a, matches_a_flat, match_valid, mask_b,
+        cfg.num_blind_samples,
+    )
+    uv_blind_a_x, ok_ax = sample_from_mask(keys[8], mask_a, cfg.num_blind_samples)
+    uv_blind_b_x, ok_bx = sample_from_mask(keys[9], mask_b, cfg.num_blind_samples)
+    blind_a = jnp.where(is_within, blind_a_w, _flatten_uv(uv_blind_a_x, W))
+    blind_b = jnp.where(is_within, blind_b_w, _flatten_uv(uv_blind_b_x, W))
+    blind_ok = jnp.where(is_within, blind_ok_w, ok_ax & ok_bx) & (match_type >= 0)
+    blind_valid = jnp.broadcast_to(blind_ok, (cfg.num_blind_samples,))
+
+    mean = jnp.asarray(cfg.image_mean, jnp.float32)
+    std = jnp.asarray(cfg.image_std, jnp.float32)
+    img_a = (rgb_a.astype(jnp.float32) / 255.0 - mean) / std
+    img_b = (rgb_b.astype(jnp.float32) / 255.0 - mean) / std
+
+    indices = MatrixSampleIndices(
+        matches_a=matches_a_flat,
+        matches_b=matches_b_flat,
+        matches_uv_b=uv_b.astype(jnp.float32),
+        matches_valid=match_valid,
+        masked_pool_b=masked_pool,
+        masked_pool_valid=masked_pool_valid,
+        background_pool_b=background_pool,
+        background_pool_valid=background_pool_valid,
+        blind_nm_a=blind_a,
+        blind_nm_b=blind_b,
+        blind_nm_valid=blind_valid,
+        match_type=match_type.astype(jnp.int32),
+    )
+    return img_a, img_b, indices
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def assemble_batch_matrix(key, batch, cfg: AssemblerConfig):
+    """vmapped :func:`assemble_sample_matrix` over a host batch dict."""
+    B = batch["rgb_a"].shape[0]
+    keys = jax.random.split(key, B)
+    return jax.vmap(
+        lambda k, ra, da, ma, pa, rb, db, mb, pb, K, mt: assemble_sample_matrix(
+            k, ra, da, ma, pa, rb, db, mb, pb, K, mt, cfg
+        )
+    )(
+        keys,
+        batch["rgb_a"], batch["depth_a"], batch["mask_a"], batch["pose_a"],
+        batch["rgb_b"], batch["depth_b"], batch["mask_b"], batch["pose_b"],
+        batch["K"], batch["match_type"],
+    )
 
 
 def assemble_synthetic_multi_object_sample(key, p1, p2, cfg: AssemblerConfig):

@@ -63,9 +63,11 @@ class SceneData:
 
     @staticmethod
     def from_structure(structure: SceneStructure, name: str, object_id=None):
-        """Decode a scene from the pdc on-disk layout."""
-        from PIL import Image
+        """Decode a scene from the pdc on-disk layout (parallel native PNG
+        decode when ``native/libpdc_loader.so`` is available, PIL fallback)."""
+        from pdc_tpu.data.native_loader import load_scene_frames
 
+        intr = structure.load_camera_intrinsics()
         pose_map = structure.load_pose_data()
         indices = sorted(pose_map.keys())
         # keep only frames whose files exist
@@ -74,25 +76,13 @@ class SceneData:
             if os.path.exists(structure.rgb_image_filename(i))
             and os.path.exists(structure.depth_image_filename(i))
         ]
-        rgb = np.stack(
-            [np.asarray(Image.open(structure.rgb_image_filename(i)).convert("RGB")) for i in indices]
+        rgb, depth, mask = load_scene_frames(
+            structure, indices, intr.height, intr.width
         )
-        depth = np.stack(
-            [np.asarray(Image.open(structure.depth_image_filename(i))).astype(np.uint16) for i in indices]
-        )
-        masks = []
-        for i in indices:
-            mf = structure.mask_image_filename(i)
-            if os.path.exists(mf):
-                m = np.asarray(Image.open(mf))
-                masks.append((m > 0).astype(np.uint8))
-            else:
-                masks.append(np.ones(depth.shape[1:], np.uint8))
-        K = structure.load_camera_intrinsics().K
         poses = np.stack([pose_map[i] for i in indices])
         return SceneData(
-            name=name, rgb=rgb, depth=depth, mask=np.stack(masks),
-            poses=poses, K=K, object_id=object_id,
+            name=name, rgb=rgb, depth=depth, mask=mask,
+            poses=poses, K=intr.K, object_id=object_id,
         )
 
     @staticmethod

@@ -1,0 +1,228 @@
+"""Device-resident dataset cache.
+
+The host->device link is the train-step bottleneck once compute is fused
+(each pair ships ~7 MB of rgb/depth/mask). A processed pdc scene is ~115 MB
+(SURVEY.md §6) while TPU HBM is 16+ GB — so the TPU-native design uploads
+the frame stacks ONCE and sends only *frame indices* per step; the batch's
+image arrays are then an HBM gather inside the jitted step. This removes
+per-step host traffic entirely for datasets that fit the cache budget
+(the tutorial/benchmark configs easily do).
+
+Usage:
+    cache = DeviceCache.from_dataset(dataset)
+    idx = cache.sample_index_batch(B)        # tiny host arrays
+    batch = cache.gather(idx)                 # device dict, same schema as
+                                              # SpartanDataset.make_host_batch
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass
+class DeviceCache:
+    rgb: jnp.ndarray     # [F, H, W, 3] uint8, all scenes concatenated
+    depth: jnp.ndarray   # [F, H, W] uint16
+    mask: jnp.ndarray    # [F, H, W] uint8
+    poses: np.ndarray    # [F, 4, 4] float32 (host; tiny)
+    Ks: np.ndarray       # [F, 3, 3] float32 (host; tiny)
+    scene_offsets: Dict[str, int]
+    scene_lengths: Dict[str, int]
+    dataset: object
+
+    @staticmethod
+    def from_dataset(dataset, max_bytes: int = 8 << 30,
+                     sharding=None) -> "DeviceCache":
+        """Upload every scene of a SpartanDataset. Raises if over budget.
+
+        :param sharding: optional jax sharding for the stacks (replicate by
+            default; pass a pixel/batch sharding for very large caches)
+        """
+        rgbs, depths, masks, poses, Ks = [], [], [], [], []
+        offsets, lengths = {}, {}
+        off = 0
+        total = 0
+        for name in sorted(dataset.scenes.keys()):
+            s = dataset.scenes[name]
+            offsets[name] = off
+            lengths[name] = s.num_frames
+            off += s.num_frames
+            total += s.rgb.nbytes + s.depth.nbytes + s.mask.nbytes
+            if total > max_bytes:
+                raise MemoryError(
+                    f"dataset exceeds device-cache budget ({total} > {max_bytes} B); "
+                    "stream from host instead"
+                )
+            rgbs.append(s.rgb)
+            depths.append(s.depth)
+            masks.append(s.mask)
+            poses.append(s.poses.astype(np.float32))
+            Ks.append(np.broadcast_to(s.K.astype(np.float32), (s.num_frames, 3, 3)))
+
+        put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
+        return DeviceCache(
+            rgb=put(np.concatenate(rgbs)),
+            depth=put(np.concatenate(depths)),
+            mask=put(np.concatenate(masks)),
+            poses=np.concatenate(poses),
+            Ks=np.concatenate(Ks),
+            scene_offsets=offsets,
+            scene_lengths=lengths,
+            dataset=dataset,
+        )
+
+    @property
+    def nbytes(self):
+        return self.rgb.nbytes + self.depth.nbytes + self.mask.nbytes
+
+    # -- sampling ------------------------------------------------------------
+
+    def sample_index_batch(self, batch_size: int) -> dict:
+        """Host-side pair sampling -> global frame indices + poses/Ks.
+
+        Reuses the dataset's full sampling logic (type mix, pose-difference
+        rejection) but returns only scalars per pair.
+        """
+        def global_frames(pair):
+            meta = pair.metadata
+            if pair.match_type == -1:
+                scene = meta.get("scene_name") or sorted(self.scene_offsets)[0]
+                return self.scene_offsets[scene], self.scene_offsets[scene]
+            if "scene_name" in meta:
+                base = self.scene_offsets[meta["scene_name"]]
+                return base + meta["image_a_idx"], base + meta["image_b_idx"]
+            return (
+                self.scene_offsets[meta["scene_name_a"]] + meta["image_a_idx"],
+                self.scene_offsets[meta["scene_name_b"]] + meta["image_b_idx"],
+            )
+
+        pairs = [self.dataset.sample_pair() for _ in range(batch_size)]
+        frames = [global_frames(p) for p in pairs]
+        out = {
+            "frame_a": np.asarray([f[0] for f in frames], np.int32),
+            "frame_b": np.asarray([f[1] for f in frames], np.int32),
+            "match_type": np.asarray([p.match_type for p in pairs], np.int32),
+            "pose_a": np.stack([p.pose_a.astype(np.float32) for p in pairs]),
+            "pose_b": np.stack([p.pose_b.astype(np.float32) for p in pairs]),
+            "K": np.stack([p.K.astype(np.float32) for p in pairs]),
+        }
+        from pdc_tpu.losses.composer import MATCH_TYPE_SYNTHETIC_MULTI_OBJECT
+
+        if MATCH_TYPE_SYNTHETIC_MULTI_OBJECT in getattr(
+            self.dataset, "_data_type_probabilities", {}
+        ):
+            seconds = [p.second if p.second is not None else p for p in pairs]
+            frames2 = [global_frames(s) for s in seconds]
+            out.update({
+                "frame_a_2": np.asarray([f[0] for f in frames2], np.int32),
+                "frame_b_2": np.asarray([f[1] for f in frames2], np.int32),
+                "pose_a_2": np.stack([s.pose_a.astype(np.float32) for s in seconds]),
+                "pose_b_2": np.stack([s.pose_b.astype(np.float32) for s in seconds]),
+                "K_2": np.stack([s.K.astype(np.float32) for s in seconds]),
+            })
+        return out
+
+    def gather(self, index_batch: dict) -> dict:
+        """Index batch -> full batch dict (device HBM gathers)."""
+        out = {"match_type": jnp.asarray(index_batch["match_type"])}
+        for suffix in ("", "_2"):
+            if "frame_a" + suffix not in index_batch:
+                continue
+            fa = jnp.asarray(index_batch["frame_a" + suffix])
+            fb = jnp.asarray(index_batch["frame_b" + suffix])
+            out.update({
+                "rgb_a" + suffix: jnp.take(self.rgb, fa, axis=0),
+                "depth_a" + suffix: jnp.take(self.depth, fa, axis=0),
+                "mask_a" + suffix: jnp.take(self.mask, fa, axis=0),
+                "pose_a" + suffix: jnp.asarray(index_batch["pose_a" + suffix]),
+                "rgb_b" + suffix: jnp.take(self.rgb, fb, axis=0),
+                "depth_b" + suffix: jnp.take(self.depth, fb, axis=0),
+                "mask_b" + suffix: jnp.take(self.mask, fb, axis=0),
+                "pose_b" + suffix: jnp.asarray(index_batch["pose_b" + suffix]),
+                "K" + suffix: jnp.asarray(index_batch["K" + suffix]),
+            })
+        return out
+
+
+def make_cached_train_step(model, tx, loss_cfg, assembler_cfg, image_width: int,
+                           cache: DeviceCache):
+    """Train step taking (state, index_batch, key) with the frame gather
+    fused into the jitted program — zero image bytes cross the host link per
+    step."""
+    import optax
+
+    from pdc_tpu.training.train import TrainState
+
+    use_matrix = assembler_cfg.use_matrix_loss and not assembler_cfg.enable_synthetic_multi_object
+    if use_matrix:
+        from pdc_tpu.data.assembler import assemble_batch_matrix as assemble_batch
+        from pdc_tpu.losses.matrix_loss import compose_loss_matrix as compose_loss
+    else:
+        from pdc_tpu.data.assembler import assemble_batch
+        from pdc_tpu.losses.composer import compose_loss
+
+    def loss_fn(params, batch_stats, img_a, img_b, indices):
+        B, H, W, _ = img_a.shape
+        imgs = jnp.concatenate([img_a, img_b], axis=0)
+        out, mutated = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            imgs, train=True, mutable=["batch_stats"],
+        )
+        D = out.shape[-1]
+        pred = out.reshape(2 * B, H * W, D)
+        terms = jax.vmap(
+            lambda pa, pb, s: compose_loss(pa, pb, s, loss_cfg, image_width)
+        )(pred[:B], pred[B:], indices)
+        non_empty = (indices.match_type >= 0).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(non_empty), 1.0)
+        loss = jnp.sum(terms.loss * non_empty) / denom
+        metrics = {
+            "loss": loss,
+            "match_loss": jnp.sum(terms.match_loss * non_empty) / denom,
+            "masked_non_match_loss": jnp.sum(terms.masked_non_match_loss * non_empty) / denom,
+            "background_non_match_loss": jnp.sum(terms.background_non_match_loss * non_empty) / denom,
+            "blind_non_match_loss": jnp.sum(terms.blind_non_match_loss * non_empty) / denom,
+            "num_valid_matches": jnp.sum(indices.matches_valid) / denom,
+        }
+        return loss, (mutated["batch_stats"], metrics)
+
+    def step(state: TrainState, rgb, depth, mask, index_batch, key):
+        batch = {"match_type": index_batch["match_type"]}
+        for sfx in ("", "_2"):
+            if "frame_a" + sfx not in index_batch:
+                continue
+            fa = index_batch["frame_a" + sfx]
+            fb = index_batch["frame_b" + sfx]
+            batch.update({
+                "rgb_a" + sfx: jnp.take(rgb, fa, axis=0),
+                "depth_a" + sfx: jnp.take(depth, fa, axis=0),
+                "mask_a" + sfx: jnp.take(mask, fa, axis=0),
+                "pose_a" + sfx: index_batch["pose_a" + sfx],
+                "rgb_b" + sfx: jnp.take(rgb, fb, axis=0),
+                "depth_b" + sfx: jnp.take(depth, fb, axis=0),
+                "mask_b" + sfx: jnp.take(mask, fb, axis=0),
+                "pose_b" + sfx: index_batch["pose_b" + sfx],
+                "K" + sfx: index_batch["K" + sfx],
+            })
+        img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, img_a, img_b, indices)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), metrics
+
+    jitted = jax.jit(step, donate_argnums=(0,))
+
+    def run(state, index_batch, key):
+        return jitted(state, cache.rgb, cache.depth, cache.mask,
+                      index_batch, key)
+
+    return run

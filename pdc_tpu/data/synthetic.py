@@ -180,7 +180,7 @@ class SyntheticScene:
         for i in range(self.num_frames):
             rgb, depth, mask, pose = self.render(i)
             Image.fromarray(rgb).save(os.path.join(img_dir, "%06d_rgb.png" % i))
-            Image.fromarray(depth, mode="I;16").save(
+            Image.fromarray(depth).save(
                 os.path.join(depth_dir, "%06d_depth.png" % i)
             )
             Image.fromarray(mask * 255).save(

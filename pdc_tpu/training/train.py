@@ -82,7 +82,22 @@ def make_train_step(model, tx, loss_cfg: LossConfig, assembler_cfg: AssemblerCon
     """Build the fused jitted train step.
 
     step(state, batch_host_arrays, key) -> (state, metrics)
+
+    Two loss formulations (selected by ``assembler_cfg.use_matrix_loss``):
+      * matrix/pooled (default): non-matches as shared candidate pools, hinge
+        over an [Nm, P] MXU distance matrix — the TPU-fast path (the per-pair
+        path's backward scatter-add of ~24M rows costs ~1.9 s/step at
+        640x480)
+      * per-pair: reference-faithful replicated index lists
+    SYNTHETIC_MULTI_OBJECT compositing currently requires the per-pair path.
     """
+    use_matrix = assembler_cfg.use_matrix_loss and not assembler_cfg.enable_synthetic_multi_object
+    if use_matrix:
+        from pdc_tpu.data.assembler import assemble_batch_matrix as _assemble
+        from pdc_tpu.losses.matrix_loss import compose_loss_matrix as _compose
+    else:
+        _assemble = assemble_batch
+        _compose = compose_loss
 
     def loss_fn(params, batch_stats, img_a, img_b, indices):
         B, H, W, _ = img_a.shape
@@ -96,7 +111,7 @@ def make_train_step(model, tx, loss_cfg: LossConfig, assembler_cfg: AssemblerCon
         pred_a, pred_b = pred[:B], pred[B:]
 
         terms = jax.vmap(
-            lambda pa, pb, s: compose_loss(pa, pb, s, loss_cfg, image_width)
+            lambda pa, pb, s: _compose(pa, pb, s, loss_cfg, image_width)
         )(pred_a, pred_b, indices)
 
         # mean over non-empty samples (empty sentinel pairs contribute 0)
@@ -114,7 +129,7 @@ def make_train_step(model, tx, loss_cfg: LossConfig, assembler_cfg: AssemblerCon
         return loss, (mutated["batch_stats"], metrics)
 
     def step(state: TrainState, batch, key):
-        img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)
+        img_a, img_b, indices = _assemble(key, batch, assembler_cfg)
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
         (_, (new_stats, metrics)), grads = grad_fn(
             state.params, state.batch_stats, img_a, img_b, indices
@@ -137,10 +152,17 @@ def make_eval_loss_step(model, loss_cfg: LossConfig, assembler_cfg: AssemblerCon
                         image_width: int):
     """Test-loss evaluation step: eval-mode batch norm, no update
     (reference DCE.compute_loss_on_dataset, evaluation.py:2072-2152)."""
+    use_matrix = assembler_cfg.use_matrix_loss and not assembler_cfg.enable_synthetic_multi_object
+    if use_matrix:
+        from pdc_tpu.data.assembler import assemble_batch_matrix as _assemble
+        from pdc_tpu.losses.matrix_loss import compose_loss_matrix as _compose
+    else:
+        _assemble = assemble_batch
+        _compose = compose_loss
 
     @jax.jit
     def step(state: TrainState, batch, key):
-        img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)
+        img_a, img_b, indices = _assemble(key, batch, assembler_cfg)
         B, H, W, _ = img_a.shape
         imgs = jnp.concatenate([img_a, img_b], axis=0)
         out = model.apply(
@@ -150,7 +172,7 @@ def make_eval_loss_step(model, loss_cfg: LossConfig, assembler_cfg: AssemblerCon
         D = out.shape[-1]
         pred = out.reshape(2 * B, H * W, D)
         terms = jax.vmap(
-            lambda pa, pb, s: compose_loss(pa, pb, s, loss_cfg, image_width)
+            lambda pa, pb, s: _compose(pa, pb, s, loss_cfg, image_width)
         )(pred[:B], pred[B:], indices)
         non_empty = (indices.match_type >= 0).astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(non_empty), 1.0)
@@ -322,7 +344,32 @@ class DenseCorrespondenceTraining:
         loss_cfg = LossConfig.from_dict(self._config["loss_function"])
         assembler_cfg = AssemblerConfig.from_training_config(self._config)
         schedule = make_lr_schedule(self._config)
-        train_step = make_train_step(self._model, self._tx, loss_cfg, assembler_cfg, W)
+
+        # Default fast path: cache the frame stacks in device HBM and send
+        # only frame indices per step (zero per-step image transfer). Falls
+        # back to host streaming when the dataset exceeds the budget.
+        cache = None
+        if t.get("cache_dataset_on_device", True):
+            try:
+                from pdc_tpu.data.device_cache import (
+                    DeviceCache,
+                    make_cached_train_step,
+                )
+
+                cache = DeviceCache.from_dataset(
+                    self._dataset,
+                    max_bytes=int(t.get("device_cache_max_bytes", 8 << 30)),
+                )
+                train_step = make_cached_train_step(
+                    self._model, self._tx, loss_cfg, assembler_cfg, W, cache
+                )
+                logger.info("device cache: %.0f MB", cache.nbytes / 1e6)
+            except MemoryError as e:
+                logger.warning("device cache disabled: %s", e)
+                cache = None
+        if cache is None:
+            train_step = make_train_step(self._model, self._tx, loss_cfg,
+                                         assembler_cfg, W)
 
         eval_step = None
         if t.get("compute_test_loss", False) and self._dataset_test is not None:
@@ -337,18 +384,40 @@ class DenseCorrespondenceTraining:
         if not use_pretrained:
             self.save_network(0)
 
+        # profiling hook (SURVEY.md §5: the reference has none; we expose
+        # jax.profiler traces viewable in TensorBoard/XProf)
+        profile_dir = t.get("profile_dir")
+        profile_steps = int(t.get("profile_num_steps", 10))
+        profiling = False
+
         key = jax.random.PRNGKey(int(t.get("seed", 1)))
-        # simple one-deep host prefetch: sample the next batch while the
-        # device is busy with the current step
-        next_batch = self._dataset.make_host_batch(self._batch_size)
+        # background host prefetch: the sampler thread assembles batch k+1
+        # while the device runs step k (replaces the reference's DataLoader
+        # worker pool, training.py:96-97)
+        from pdc_tpu.data.native_loader import PrefetchLoader
+
+        if cache is not None:
+            prefetch = PrefetchLoader(
+                lambda: cache.sample_index_batch(self._batch_size),
+                depth=2, to_device=False,
+            )
+        else:
+            prefetch = PrefetchLoader(
+                lambda: self._dataset.make_host_batch(self._batch_size), depth=2
+            )
         it = loss_current_iteration
         while it < max_iterations:
             it += 1
+            if profile_dir and it == loss_current_iteration + 2 and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+            if profiling and it == loss_current_iteration + 2 + profile_steps:
+                jax.profiler.stop_trace()
+                profiling = False
             t0 = time.time()
-            batch = next_batch
+            batch = prefetch.next()
             key, step_key = jax.random.split(key)
             self._state, metrics = train_step(self._state, batch, step_key)
-            next_batch = self._dataset.make_host_batch(self._batch_size)
             metrics = jax.device_get(metrics)
             elapsed = time.time() - t0
 
@@ -384,6 +453,7 @@ class DenseCorrespondenceTraining:
                 for k in ("loss", "match_loss", "non_match_loss"):
                     te[k].append(float(np.mean([m[k] for m in test_metrics])))
 
+        prefetch.stop()
         self.save_network(it)
         return self._logging_dir
 

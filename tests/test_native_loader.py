@@ -1,0 +1,93 @@
+"""Native C++ PNG loader vs PIL ground truth."""
+
+import os
+import time
+
+import numpy as np
+import pytest
+
+from pdc_tpu.data.native_loader import (
+    KIND_GRAY16,
+    KIND_MASK8,
+    KIND_RGB8,
+    available,
+    decode_batch,
+    load_scene_frames,
+)
+from pdc_tpu.data.scene import SceneStructure
+from pdc_tpu.data.synthetic import SyntheticScene
+
+W, H = 64, 48
+
+
+@pytest.fixture(scope="module")
+def scene_on_disk(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("scene")
+    scene = SyntheticScene(width=W, height=H, num_frames=4)
+    processed = scene.write_scene(os.path.join(tmp, "log"))
+    return scene, processed
+
+
+def test_native_available():
+    assert available(), "native loader should build in this image"
+
+
+def test_decode_matches_pil(scene_on_disk):
+    scene, processed = scene_on_disk
+    structure = SceneStructure(processed)
+    rgb_gt, depth_gt, mask_gt, _ = scene.render_all()
+
+    rgb = np.empty((H, W, 3), np.uint8)
+    depth = np.empty((H, W), np.uint16)
+    mask = np.empty((H, W), np.uint8)
+    decode_batch(
+        [
+            (structure.rgb_image_filename(1), KIND_RGB8, rgb),
+            (structure.depth_image_filename(1), KIND_GRAY16, depth),
+            (structure.mask_image_filename(1), KIND_MASK8, mask),
+        ],
+        H, W,
+    )
+    np.testing.assert_array_equal(rgb, rgb_gt[1])
+    np.testing.assert_array_equal(depth, depth_gt[1])
+    np.testing.assert_array_equal(mask, mask_gt[1])
+
+
+def test_load_scene_frames(scene_on_disk):
+    scene, processed = scene_on_disk
+    structure = SceneStructure(processed)
+    rgb, depth, mask = load_scene_frames(structure, [0, 1, 2, 3], H, W)
+    rgb_gt, depth_gt, mask_gt, _ = scene.render_all()
+    np.testing.assert_array_equal(rgb, rgb_gt)
+    np.testing.assert_array_equal(depth, depth_gt)
+    np.testing.assert_array_equal(mask, mask_gt)
+
+
+def test_decode_error_on_missing_file():
+    rgb = np.empty((H, W, 3), np.uint8)
+    with pytest.raises(RuntimeError):
+        decode_batch([("/nonexistent/file.png", KIND_RGB8, rgb)], H, W)
+
+
+def test_decode_error_on_wrong_dims(scene_on_disk):
+    _, processed = scene_on_disk
+    structure = SceneStructure(processed)
+    rgb = np.empty((H + 2, W, 3), np.uint8)
+    with pytest.raises(RuntimeError):
+        decode_batch([(structure.rgb_image_filename(0), KIND_RGB8, rgb)], H + 2, W)
+
+
+def test_prefetch_loader():
+    from pdc_tpu.data.native_loader import PrefetchLoader
+
+    counter = {"n": 0}
+
+    def make():
+        counter["n"] += 1
+        return {"x": counter["n"]}
+
+    pf = PrefetchLoader(make, depth=2)
+    got = [pf.next()["x"] for _ in range(5)]
+    pf.stop()
+    assert got == sorted(got)
+    assert len(got) == 5
