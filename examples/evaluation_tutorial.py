@@ -6,6 +6,11 @@ Usage:
     python examples/evaluation_tutorial.py --model_folder trained_models/tutorial
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import os
 

@@ -10,6 +10,11 @@ Usage:
     python examples/training_tutorial.py --iterations 3500  # full schedule
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import copy
 import os

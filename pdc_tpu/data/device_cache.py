@@ -157,40 +157,10 @@ def make_cached_train_step(model, tx, loss_cfg, assembler_cfg, image_width: int,
     step."""
     import optax
 
-    from pdc_tpu.training.train import TrainState
+    from pdc_tpu.training.train import TrainState, build_loss_fn, pick_assembly
 
-    use_matrix = assembler_cfg.use_matrix_loss and not assembler_cfg.enable_synthetic_multi_object
-    if use_matrix:
-        from pdc_tpu.data.assembler import assemble_batch_matrix as assemble_batch
-        from pdc_tpu.losses.matrix_loss import compose_loss_matrix as compose_loss
-    else:
-        from pdc_tpu.data.assembler import assemble_batch
-        from pdc_tpu.losses.composer import compose_loss
-
-    def loss_fn(params, batch_stats, img_a, img_b, indices):
-        B, H, W, _ = img_a.shape
-        imgs = jnp.concatenate([img_a, img_b], axis=0)
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            imgs, train=True, mutable=["batch_stats"],
-        )
-        D = out.shape[-1]
-        pred = out.reshape(2 * B, H * W, D)
-        terms = jax.vmap(
-            lambda pa, pb, s: compose_loss(pa, pb, s, loss_cfg, image_width)
-        )(pred[:B], pred[B:], indices)
-        non_empty = (indices.match_type >= 0).astype(jnp.float32)
-        denom = jnp.maximum(jnp.sum(non_empty), 1.0)
-        loss = jnp.sum(terms.loss * non_empty) / denom
-        metrics = {
-            "loss": loss,
-            "match_loss": jnp.sum(terms.match_loss * non_empty) / denom,
-            "masked_non_match_loss": jnp.sum(terms.masked_non_match_loss * non_empty) / denom,
-            "background_non_match_loss": jnp.sum(terms.background_non_match_loss * non_empty) / denom,
-            "blind_non_match_loss": jnp.sum(terms.blind_non_match_loss * non_empty) / denom,
-            "num_valid_matches": jnp.sum(indices.matches_valid) / denom,
-        }
-        return loss, (mutated["batch_stats"], metrics)
+    assemble_batch, compose_loss = pick_assembly(assembler_cfg)
+    loss_fn = build_loss_fn(model, loss_cfg, image_width, compose_loss)
 
     def step(state: TrainState, rgb, depth, mask, index_batch, key):
         batch = {"match_type": index_batch["match_type"]}

@@ -43,17 +43,26 @@ from pdc_tpu.utils.constants import (
 from pdc_tpu.utils.yaml_io import load_yaml
 
 
-def build_backbone(config: dict, dtype=jnp.float32):
+def build_backbone(config: dict, dtype=None):
     """Construct the FCN from a ``dense_correspondence_network`` config block
-    (reference ``get_fcn``/``get_unet``, dense_correspondence_network.py:347-383)."""
+    (reference ``get_fcn``/``get_unet``, dense_correspondence_network.py:347-383).
+
+    TPU extras beyond the reference surface: ``compute_dtype``
+    ('float32' | 'bfloat16') and ``remat`` (bool) config keys.
+    """
     backbone = config.get("backbone", {"model_class": "Resnet", "resnet_name": "Resnet34_8s"})
     d = config["descriptor_dimension"]
+    if dtype is None:
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+            config.get("compute_dtype", "float32")
+        ]
+    remat = bool(config.get("remat", False))
     if backbone["model_class"] == "Resnet":
         name = backbone.get("resnet_name", "Resnet34_8s")
         if name == "Resnet34_8s":
-            return ResNet34_8s(d, dtype=dtype)
+            return ResNet34_8s(d, dtype=dtype, remat=remat)
         if name == "Resnet18_8s":
-            return ResNet18_8s(d, dtype=dtype)
+            return ResNet18_8s(d, dtype=dtype, remat=remat)
         raise ValueError(f"unsupported resnet_name: {name}")
     if backbone["model_class"] == "Unet":
         return UNet(num_classes=d, dtype=dtype)

@@ -70,12 +70,16 @@ class ResNetFCN(nn.Module):
     """Dilated ResNet FCN. ``output_stride`` of 8 dilates stages 3 and 4.
 
     ``stage_sizes=(3, 4, 6, 3)`` is ResNet-34; (2, 2, 2, 2) is ResNet-18.
+    ``dtype=jnp.bfloat16`` runs conv/BN compute in bf16 with fp32 params;
+    ``remat=True`` rematerializes each residual block in the backward pass
+    (activation memory ~ one block instead of the whole network).
     """
 
     num_classes: int
     stage_sizes: Sequence[int] = (3, 4, 6, 3)
     output_stride: int = 8
     dtype: Any = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -99,16 +103,17 @@ class ResNetFCN(nn.Module):
             stage_strides = (1, 2, 2, 2)
             stage_dilations = (1, 1, 1, 1)
 
+        block_cls = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat else BasicBlock
         features = (64, 128, 256, 512)
         for stage, (blocks, feats) in enumerate(zip(self.stage_sizes, features)):
             for block in range(blocks):
-                x = BasicBlock(
+                x = block_cls(
                     features=feats,
                     stride=stage_strides[stage] if block == 0 else 1,
                     dilation=stage_dilations[stage],
                     dtype=self.dtype,
                     name=f"stage{stage + 1}_block{block}",
-                )(x, train=train)
+                )(x, train)
 
         # 1x1 descriptor head (the reference's ``score_32s``-style head
         # collapsed to the single stride-8 head Resnet34_8s actually uses)
@@ -126,15 +131,15 @@ def _resize_bilinear(x, h, w):
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="linear")
 
 
-def ResNet34_8s(num_classes: int, dtype=jnp.float32) -> ResNetFCN:
+def ResNet34_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> ResNetFCN:
     """The CoRL-2018 default backbone."""
     return ResNetFCN(num_classes=num_classes, stage_sizes=(3, 4, 6, 3),
-                     output_stride=8, dtype=dtype)
+                     output_stride=8, dtype=dtype, remat=remat)
 
 
-def ResNet18_8s(num_classes: int, dtype=jnp.float32) -> ResNetFCN:
+def ResNet18_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> ResNetFCN:
     return ResNetFCN(num_classes=num_classes, stage_sizes=(2, 2, 2, 2),
-                     output_stride=8, dtype=dtype)
+                     output_stride=8, dtype=dtype, remat=remat)
 
 
 def ResNet101_8s(num_classes: int, dtype=jnp.float32) -> ResNetFCN:  # pragma: no cover

@@ -20,10 +20,9 @@ import jax.numpy as jnp
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from pdc_tpu.data.assembler import AssemblerConfig, assemble_batch
-from pdc_tpu.losses.composer import compose_loss
+from pdc_tpu.data.assembler import AssemblerConfig
 from pdc_tpu.losses.pixelwise_contrastive import LossConfig
-from pdc_tpu.training.train import TrainState
+from pdc_tpu.training.train import TrainState, build_loss_fn, pick_assembly
 
 
 def shard_host_batch(batch: dict, mesh: Mesh):
@@ -47,22 +46,8 @@ def make_sharded_train_step(model, tx, loss_cfg: LossConfig,
     repl = NamedSharding(mesh, P())
     data = NamedSharding(mesh, P("data"))
 
-    def loss_fn(params, batch_stats, img_a, img_b, indices):
-        B, H, W, _ = img_a.shape
-        imgs = jnp.concatenate([img_a, img_b], axis=0)
-        out, mutated = model.apply(
-            {"params": params, "batch_stats": batch_stats},
-            imgs, train=True, mutable=["batch_stats"],
-        )
-        D = out.shape[-1]
-        pred = out.reshape(2 * B, H * W, D)
-        terms = jax.vmap(
-            lambda pa, pb, s: compose_loss(pa, pb, s, loss_cfg, image_width)
-        )(pred[:B], pred[B:], indices)
-        non_empty = (indices.match_type >= 0).astype(jnp.float32)
-        denom = jnp.maximum(jnp.sum(non_empty), 1.0)
-        loss = jnp.sum(terms.loss * non_empty) / denom
-        return loss, (mutated["batch_stats"], {"loss": loss})
+    assemble_batch, compose_loss = pick_assembly(assembler_cfg)
+    loss_fn = build_loss_fn(model, loss_cfg, image_width, compose_loss)
 
     def step(state: TrainState, batch, key):
         img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)

@@ -1,0 +1,102 @@
+"""Fused-scene reconstruction access.
+
+Rebuild of ``modules/.../fusion/fusion_reconstruction.py:81-398``
+(FusionReconstruction / TSDFReconstruction / CameraPoses): loads the TSDF
+fusion mesh and camera pose graph of a processed scene and serves
+``get_camera_to_world(idx)`` lookups plus crop-box-filtered geometry — the
+inputs of the change-detection pipeline. VTK is replaced by the minimal PLY
+vertex reader + numpy; rendering goes through
+:mod:`pdc_tpu.pipeline.renderer`.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+
+from pdc_tpu.data.scene import SceneStructure
+from pdc_tpu.pipeline.change_detection import CropBox
+from pdc_tpu.pipeline.renderer import mesh_vertices_from_ply
+
+
+class CameraPoses:
+    """Pose-graph lookup (reference CameraPoses, fusion_reconstruction.py:81)."""
+
+    def __init__(self, pose_map: dict):
+        self._pose_map = dict(pose_map)
+
+    @staticmethod
+    def from_scene(structure: SceneStructure) -> "CameraPoses":
+        return CameraPoses(structure.load_pose_data())
+
+    def get_camera_to_world(self, idx: int) -> np.ndarray:
+        return self._pose_map[idx]
+
+    @property
+    def indices(self):
+        return sorted(self._pose_map.keys())
+
+    def __len__(self):
+        return len(self._pose_map)
+
+
+class TSDFReconstruction:
+    """A fused scene: mesh vertices + camera poses + intrinsics
+    (reference TSDFReconstruction, fusion_reconstruction.py:305)."""
+
+    def __init__(self, points: np.ndarray, poses: CameraPoses,
+                 intrinsics, crop_box: Optional[CropBox] = None):
+        self._all_points = np.asarray(points, np.float32)
+        self.poses = poses
+        self.intrinsics = intrinsics
+        self.crop_box = crop_box
+
+    @staticmethod
+    def from_data_folder(processed_folder: str,
+                         crop_box: Optional[CropBox] = None) -> "TSDFReconstruction":
+        structure = SceneStructure(processed_folder)
+        mesh_file = structure.fusion_mesh_filename
+        if not os.path.exists(mesh_file):
+            raise FileNotFoundError(mesh_file)
+        points = mesh_vertices_from_ply(mesh_file)
+        return TSDFReconstruction(
+            points, CameraPoses.from_scene(structure),
+            structure.load_camera_intrinsics(), crop_box=crop_box,
+        )
+
+    @property
+    def points(self) -> np.ndarray:
+        """Crop-box-filtered geometry (the 'foreground' object points)."""
+        if self.crop_box is None:
+            return self._all_points
+        return self.crop_box.filter(self._all_points)
+
+    @property
+    def all_points(self) -> np.ndarray:
+        return self._all_points
+
+    def get_camera_to_world(self, idx: int) -> np.ndarray:
+        return self.poses.get_camera_to_world(idx)
+
+    def render_depth(self, idx: int, cropped: bool = False, splat_radius: int = 1):
+        """Depth render at frame ``idx``'s pose via the point-splat z-buffer."""
+        import jax.numpy as jnp
+
+        from pdc_tpu.pipeline.renderer import render_depth_from_points
+
+        pts = self.points if cropped else self._all_points
+        d = render_depth_from_points(
+            jnp.asarray(pts),
+            jnp.asarray(self.get_camera_to_world(idx), jnp.float32),
+            jnp.asarray(self.intrinsics.K, jnp.float32),
+            self.intrinsics.height, self.intrinsics.width,
+            splat_radius=splat_radius,
+        )
+        return np.asarray(d)
+
+
+# The reference's ElasticFusion-era base class reads the same data through a
+# posegraph file; our LabelFusion support covers that path.
+FusionReconstruction = TSDFReconstruction

@@ -38,7 +38,7 @@ from pdc_tpu.data.assembler import AssemblerConfig, assemble_batch, assemble_sam
 from pdc_tpu.losses.composer import compose_loss
 from pdc_tpu.losses.pixelwise_contrastive import LossConfig
 from pdc_tpu.models.dcn import DenseCorrespondenceNetwork, build_backbone
-from pdc_tpu.training.schedule import make_lr_schedule
+from pdc_tpu.training.schedule import host_lr, make_lr_schedule
 from pdc_tpu.utils.yaml_io import load_yaml, save_yaml
 
 logger = logging.getLogger(__name__)
@@ -77,27 +77,28 @@ def create_train_state(model, training_config: dict, rng, image_shape):
     ), tx
 
 
-def make_train_step(model, tx, loss_cfg: LossConfig, assembler_cfg: AssemblerConfig,
-                    image_width: int, donate: bool = True):
-    """Build the fused jitted train step.
+def pick_assembly(assembler_cfg: AssemblerConfig):
+    """Select (assemble_batch_fn, compose_fn) for the configured loss mode.
 
-    step(state, batch_host_arrays, key) -> (state, metrics)
-
-    Two loss formulations (selected by ``assembler_cfg.use_matrix_loss``):
-      * matrix/pooled (default): non-matches as shared candidate pools, hinge
-        over an [Nm, P] MXU distance matrix — the TPU-fast path (the per-pair
-        path's backward scatter-add of ~24M rows costs ~1.9 s/step at
-        640x480)
-      * per-pair: reference-faithful replicated index lists
-    SYNTHETIC_MULTI_OBJECT compositing currently requires the per-pair path.
+    Matrix/pooled (default): non-matches as shared candidate pools, hinge
+    over an [Nm, P] MXU distance matrix — the TPU-fast path (the per-pair
+    path's backward scatter-add of ~24M rows costs ~1.9 s/step at 640x480).
+    Per-pair: reference-faithful replicated index lists; required for
+    SYNTHETIC_MULTI_OBJECT compositing.
     """
     use_matrix = assembler_cfg.use_matrix_loss and not assembler_cfg.enable_synthetic_multi_object
     if use_matrix:
-        from pdc_tpu.data.assembler import assemble_batch_matrix as _assemble
-        from pdc_tpu.losses.matrix_loss import compose_loss_matrix as _compose
-    else:
-        _assemble = assemble_batch
-        _compose = compose_loss
+        from pdc_tpu.data.assembler import assemble_batch_matrix
+        from pdc_tpu.losses.matrix_loss import compose_loss_matrix
+
+        return assemble_batch_matrix, compose_loss_matrix
+    return assemble_batch, compose_loss
+
+
+def build_loss_fn(model, loss_cfg: LossConfig, image_width: int, compose):
+    """The shared train-mode loss: one [2B]-image forward, per-sample
+    composed loss averaged over non-empty samples. Returns
+    (loss, (new_batch_stats, metrics))."""
 
     def loss_fn(params, batch_stats, img_a, img_b, indices):
         B, H, W, _ = img_a.shape
@@ -111,7 +112,7 @@ def make_train_step(model, tx, loss_cfg: LossConfig, assembler_cfg: AssemblerCon
         pred_a, pred_b = pred[:B], pred[B:]
 
         terms = jax.vmap(
-            lambda pa, pb, s: _compose(pa, pb, s, loss_cfg, image_width)
+            lambda pa, pb, s: compose(pa, pb, s, loss_cfg, image_width)
         )(pred_a, pred_b, indices)
 
         # mean over non-empty samples (empty sentinel pairs contribute 0)
@@ -127,6 +128,18 @@ def make_train_step(model, tx, loss_cfg: LossConfig, assembler_cfg: AssemblerCon
             "num_valid_matches": jnp.sum(indices.matches_valid) / denom,
         }
         return loss, (mutated["batch_stats"], metrics)
+
+    return loss_fn
+
+
+def make_train_step(model, tx, loss_cfg: LossConfig, assembler_cfg: AssemblerConfig,
+                    image_width: int, donate: bool = True):
+    """Build the fused jitted train step.
+
+    step(state, batch_host_arrays, key) -> (state, metrics)
+    """
+    _assemble, _compose = pick_assembly(assembler_cfg)
+    loss_fn = build_loss_fn(model, loss_cfg, image_width, _compose)
 
     def step(state: TrainState, batch, key):
         img_a, img_b, indices = _assemble(key, batch, assembler_cfg)
@@ -152,13 +165,7 @@ def make_eval_loss_step(model, loss_cfg: LossConfig, assembler_cfg: AssemblerCon
                         image_width: int):
     """Test-loss evaluation step: eval-mode batch norm, no update
     (reference DCE.compute_loss_on_dataset, evaluation.py:2072-2152)."""
-    use_matrix = assembler_cfg.use_matrix_loss and not assembler_cfg.enable_synthetic_multi_object
-    if use_matrix:
-        from pdc_tpu.data.assembler import assemble_batch_matrix as _assemble
-        from pdc_tpu.losses.matrix_loss import compose_loss_matrix as _compose
-    else:
-        _assemble = assemble_batch
-        _compose = compose_loss
+    _assemble, _compose = pick_assembly(assembler_cfg)
 
     @jax.jit
     def step(state: TrainState, batch, key):
@@ -343,7 +350,6 @@ class DenseCorrespondenceTraining:
 
         loss_cfg = LossConfig.from_dict(self._config["loss_function"])
         assembler_cfg = AssemblerConfig.from_training_config(self._config)
-        schedule = make_lr_schedule(self._config)
 
         # Default fast path: cache the frame stacks in device HBM and send
         # only frame indices per step (zero per-step image transfer). Falls
@@ -418,28 +424,31 @@ class DenseCorrespondenceTraining:
             batch = prefetch.next()
             key, step_key = jax.random.split(key)
             self._state, metrics = train_step(self._state, batch, step_key)
-            metrics = jax.device_get(metrics)
+            # metrics stay on device; they are appended as jax arrays and
+            # materialize lazily (a per-step device_get costs a full round
+            # trip — measured ~0.5 s/step through the TPU tunnel)
             elapsed = time.time() - t0
 
-            lr = float(schedule(it))
             tl = self._logging_dict["train"]
             tl["iteration"].append(it)
-            tl["learning_rate"].append(lr)
+            tl["learning_rate"].append(host_lr(self._config, it))
             for k in ("loss", "match_loss", "masked_non_match_loss",
                       "background_non_match_loss", "blind_non_match_loss"):
-                tl[k].append(float(metrics[k]))
+                tl[k].append(metrics[k])
 
             if progress_callback is not None:
                 progress_callback(it, metrics)
 
             if it % logging_rate == 0:
+                self._materialize_metrics()
                 logger.info(
                     "iter %d/%d loss=%.4f match=%.4f (%.3fs/iter)",
-                    it, max_iterations, float(metrics["loss"]),
-                    float(metrics["match_loss"]), elapsed,
+                    it, max_iterations, tl["loss"][-1], tl["match_loss"][-1],
+                    elapsed,
                 )
 
             if it % save_rate == 0:
+                self._materialize_metrics()
                 self.save_network(it)
 
             if eval_step is not None and it % test_rate == 0 and it > 5:
@@ -454,8 +463,18 @@ class DenseCorrespondenceTraining:
                     te[k].append(float(np.mean([m[k] for m in test_metrics])))
 
         prefetch.stop()
+        self._materialize_metrics()
         self.save_network(it)
         return self._logging_dir
+
+    def _materialize_metrics(self):
+        """Convert any still-on-device metric entries to python floats
+        (one batched fetch instead of per-step round trips)."""
+        for d in self._logging_dict.values():
+            for k, vec in d.items():
+                for i, v in enumerate(vec):
+                    if not isinstance(v, (int, float)):
+                        vec[i] = float(jax.device_get(v))
 
     # -- conveniences ------------------------------------------------------------------
 
