@@ -15,7 +15,6 @@ from __future__ import annotations
 
 from typing import List
 
-import numpy as np
 
 from pdc_tpu.utils.yaml_io import save_yaml
 

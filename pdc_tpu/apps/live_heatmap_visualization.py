@@ -17,7 +17,6 @@ is importable headless for tests.
 
 from __future__ import annotations
 
-import functools
 import logging
 from typing import List
 

@@ -9,7 +9,7 @@ Rebuild of ``dataset/labelfusion_masked.py:5-58``: reads raw LabelFusion logs
 from __future__ import annotations
 
 import os
-from typing import Dict, List
+from typing import List
 
 import numpy as np
 

@@ -137,12 +137,16 @@ class SyntheticScene:
         mask = (visible & (nearest == 0) & (r2 <= self.object_radius**2)).astype(np.uint8)
 
         # Procedural texture from world coordinates -> view-consistent RGB.
+        # One linear channel plus two with nonlinear (xy, quadratic) phases:
+        # the nonlinear terms break translation invariance, so no global
+        # lattice of aliased colors exists and best-match ground truth is
+        # unambiguous over the working area.
         x, y = p_world[..., 0], p_world[..., 1]
         rgb = np.stack(
             [
-                0.5 + 0.5 * np.sin(17.0 * x) * np.cos(13.0 * y),
-                0.5 + 0.5 * np.sin(23.0 * y + 1.0),
-                0.5 + 0.5 * np.cos(19.0 * x * y + 2.0),
+                0.5 + 0.5 * np.sin(21.0 * x + 9.0 * y),
+                0.5 + 0.5 * np.sin(-7.0 * x + 25.0 * y + 30.0 * x * y + 1.0),
+                0.5 + 0.5 * np.sin(40.0 * (x * x - y * y) + 13.0 * x - 11.0 * y + 2.0),
             ],
             axis=-1,
         )

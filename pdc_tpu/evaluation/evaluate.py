@@ -11,7 +11,6 @@ tooling is drop-in compatible.
 
 from __future__ import annotations
 
-import functools
 import logging
 import os
 from typing import Optional
@@ -24,7 +23,7 @@ from pdc_tpu.geom.camera import unproject_to_camera
 from pdc_tpu.geom.transforms import transform_points
 from pdc_tpu.ops.correspondence import find_pixel_correspondences
 from pdc_tpu.utils.constants import DEPTH_IM_SCALE
-from pdc_tpu.utils.yaml_io import load_yaml, save_yaml
+from pdc_tpu.utils.yaml_io import save_yaml
 
 logger = logging.getLogger(__name__)
 

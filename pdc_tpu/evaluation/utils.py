@@ -7,7 +7,6 @@ batch descriptor-image export for a scene.
 
 from __future__ import annotations
 
-import os
 from typing import List
 
 

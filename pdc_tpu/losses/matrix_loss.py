@@ -30,9 +30,8 @@ apart), cleaner math.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
 
 from pdc_tpu.losses.pixelwise_contrastive import (

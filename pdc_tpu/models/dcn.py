@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import glob
 import os
-from typing import Any, Optional
+from typing import Optional
 
 import flax
 import jax

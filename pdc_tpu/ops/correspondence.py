@@ -24,7 +24,7 @@ Returns fixed-shape (uv_a, uv_b, valid) instead of pruned lists.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

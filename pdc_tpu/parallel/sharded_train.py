@@ -13,7 +13,7 @@ shard directly (one host->device transfer per chip).
 
 from __future__ import annotations
 
-from typing import Any
+
 
 import jax
 import jax.numpy as jnp

@@ -250,7 +250,48 @@ class DenseCorrespondenceTraining:
 
             shutil.rmtree(self._logging_dir)
         os.makedirs(self._logging_dir, exist_ok=True)
+        self._setup_tensorboard()
         return self._logging_dir
+
+    def _setup_tensorboard(self):
+        """TensorBoard scalar logging (reference training.py:573-585 uses
+        tensorboard_logger); disabled gracefully when tensorboard is absent
+        or turned off via training.use_tensorboard: false."""
+        self._tb_writer = None
+        if not self._config["training"].get("use_tensorboard", True):
+            return
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            tb_dir = os.path.join(self._logging_dir, "tensorboard")
+            os.makedirs(tb_dir, exist_ok=True)
+            self._tb_writer = SummaryWriter(log_dir=tb_dir)
+        except Exception:  # pragma: no cover - tensorboard not installed
+            self._tb_writer = None
+
+    def _flush_tensorboard(self, upto: int):
+        """Write materialized scalars (same tags as the reference's
+        per-term logging, training.py:364-411)."""
+        if self._tb_writer is None:
+            return
+        tl = self._logging_dict["train"]
+        start = getattr(self, "_tb_flushed", 0)
+        tags = {
+            "loss": "train loss",
+            "match_loss": "train match loss",
+            "masked_non_match_loss": "train masked non match loss",
+            "background_non_match_loss": "train background non match loss",
+            "blind_non_match_loss": "train blind non match loss",
+            "learning_rate": "learning rate",
+        }
+        for i in range(start, len(tl["iteration"])):
+            it = tl["iteration"][i]
+            for k, tag in tags.items():
+                v = tl[k][i]
+                if isinstance(v, (int, float)):
+                    self._tb_writer.add_scalar(tag, v, it)
+        self._tb_flushed = len(tl["iteration"])
+        self._tb_writer.flush()
 
     @property
     def logging_dir(self):
@@ -441,6 +482,7 @@ class DenseCorrespondenceTraining:
 
             if it % logging_rate == 0:
                 self._materialize_metrics()
+                self._flush_tensorboard(it)
                 logger.info(
                     "iter %d/%d loss=%.4f match=%.4f (%.3fs/iter)",
                     it, max_iterations, tl["loss"][-1], tl["match_loss"][-1],
@@ -464,6 +506,9 @@ class DenseCorrespondenceTraining:
 
         prefetch.stop()
         self._materialize_metrics()
+        self._flush_tensorboard(it)
+        if self._tb_writer is not None:
+            self._tb_writer.close()
         self.save_network(it)
         return self._logging_dir
 
