@@ -1,0 +1,136 @@
+"""Fully device-resident training: K train steps per dispatch.
+
+With the dataset cached in HBM (:mod:`pdc_tpu.data.device_cache`) the only
+remaining host involvement per step is pair sampling and the dispatch itself
+— which costs a full RPC round trip through a tunnel/remote runtime and
+dominates small-resolution training. This module moves BOTH on device:
+
+  * pair sampling (uniform scene -> frame a -> pose-difference rejection of
+    frame b over a fixed candidate set, reference
+    dense_correspondence_dataset_masked.py:260-287) runs as jnp ops over the
+    pose table
+  * ``lax.scan`` runs K full train steps (sample -> gather -> assemble ->
+    forward -> loss -> backward -> Adam) inside ONE jitted call
+
+One dispatch per K steps amortizes the host round trip to nothing; the loss
+history still comes back per step ([K] metric arrays).
+
+Scope: within-scene sample types (the default training mix). Cross-scene /
+different-object / synthetic-multi-object mixes use the per-step host
+sampling path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from pdc_tpu.data.assembler import AssemblerConfig
+from pdc_tpu.losses.pixelwise_contrastive import LossConfig
+from pdc_tpu.training.train import TrainState, build_loss_fn, pick_assembly
+
+POSE_DIST_THRESHOLD = 0.2     # metres (reference threshold)
+POSE_ANGLE_THRESHOLD = 20.0   # degrees
+NUM_POSE_CANDIDATES = 16      # rejection-sampling candidates per pair
+
+
+def device_sample_pairs(key, scene_offsets, scene_lengths, poses, batch_size: int):
+    """Sample ``batch_size`` within-scene frame pairs on device.
+
+    :param scene_offsets: [S] int32 start frame of each scene
+    :param scene_lengths: [S] int32 frames per scene
+    :param poses: [F, 4, 4] float32 camera-to-world
+    :return: (frame_a [B], frame_b [B], match_type [B]) int32 — match_type is
+        0 (within scene) or -1 when no sufficiently-different pose was found
+    """
+    S = scene_offsets.shape[0]
+
+    def one(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        s = jax.random.randint(k1, (), 0, S)
+        base = scene_offsets[s]
+        n = scene_lengths[s]
+        fa = base + jax.random.randint(k2, (), 0, n)
+
+        cand = base + jax.random.randint(k3, (NUM_POSE_CANDIDATES,), 0, n)
+        pa = poses[fa]
+        pc = poses[cand]
+        dist = jnp.linalg.norm(pc[:, :3, 3] - pa[:3, 3], axis=1)
+        # relative rotation angle via trace(R_a^T R_c)
+        rel = jnp.einsum("ij,kil->kjl", pa[:3, :3], pc[:, :3, :3])
+        cos = jnp.clip((jnp.trace(rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+        ang = jnp.degrees(jnp.arccos(cos))
+        ok = (dist > POSE_DIST_THRESHOLD) | (ang > POSE_ANGLE_THRESHOLD)
+        any_ok = ok.any()
+        first = jnp.argmax(ok)
+        fb = jnp.where(any_ok, cand[first], fa)
+        mt = jnp.where(any_ok, 0, -1).astype(jnp.int32)
+        return fa.astype(jnp.int32), fb.astype(jnp.int32), mt
+
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(one)(keys)
+
+
+def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
+                            assembler_cfg: AssemblerConfig, image_width: int,
+                            cache, batch_size: int, steps_per_dispatch: int):
+    """Build step(state, key) -> (state, metrics dict of [K] arrays).
+
+    ``cache`` is a :class:`pdc_tpu.data.device_cache.DeviceCache`.
+    """
+    assemble_batch, compose = pick_assembly(assembler_cfg)
+    loss_fn = build_loss_fn(model, loss_cfg, image_width, compose)
+
+    offsets = jnp.asarray(
+        [cache.scene_offsets[n] for n in sorted(cache.scene_offsets)], jnp.int32
+    )
+    lengths = jnp.asarray(
+        [cache.scene_lengths[n] for n in sorted(cache.scene_lengths)], jnp.int32
+    )
+    poses_dev = jnp.asarray(cache.poses, jnp.float32)
+    Ks_dev = jnp.asarray(cache.Ks, jnp.float32)
+
+    def one_step(carry, key, rgb, depth, mask):
+        state = carry
+        k_sample, k_assemble = jax.random.split(key)
+        fa, fb, mt = device_sample_pairs(
+            k_sample, offsets, lengths, poses_dev, batch_size
+        )
+        batch = {
+            "match_type": mt,
+            "rgb_a": jnp.take(rgb, fa, axis=0),
+            "depth_a": jnp.take(depth, fa, axis=0),
+            "mask_a": jnp.take(mask, fa, axis=0),
+            "pose_a": jnp.take(poses_dev, fa, axis=0),
+            "rgb_b": jnp.take(rgb, fb, axis=0),
+            "depth_b": jnp.take(depth, fb, axis=0),
+            "mask_b": jnp.take(mask, fb, axis=0),
+            "pose_b": jnp.take(poses_dev, fb, axis=0),
+            "K": jnp.take(Ks_dev, fa, axis=0),
+        }
+        img_a, img_b, indices = assemble_batch(k_assemble, batch, assembler_cfg)
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, img_a, img_b, indices)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(step=state.step + 1, params=new_params,
+                               batch_stats=new_stats, opt_state=new_opt)
+        return new_state, metrics
+
+    def multi_step(state, rgb, depth, mask, key):
+        keys = jax.random.split(key, steps_per_dispatch)
+        return jax.lax.scan(
+            lambda c, k: one_step(c, k, rgb, depth, mask), state, keys
+        )
+
+    jitted = jax.jit(multi_step, donate_argnums=(0,))
+
+    def run(state, key):
+        return jitted(state, cache.rgb, cache.depth, cache.mask, key)
+
+    return run
