@@ -396,6 +396,8 @@ class DenseCorrespondenceTraining:
         # only frame indices per step (zero per-step image transfer). Falls
         # back to host streaming when the dataset exceeds the budget.
         cache = None
+        scanned_step = None
+        steps_per_dispatch = int(t.get("steps_per_dispatch", 10))
         if t.get("cache_dataset_on_device", True):
             try:
                 from pdc_tpu.data.device_cache import (
@@ -407,10 +409,29 @@ class DenseCorrespondenceTraining:
                     self._dataset,
                     max_bytes=int(t.get("device_cache_max_bytes", 8 << 30)),
                 )
-                train_step = make_cached_train_step(
-                    self._model, self._tx, loss_cfg, assembler_cfg, W, cache
-                )
                 logger.info("device cache: %.0f MB", cache.nbytes / 1e6)
+
+                # fastest path: K steps per dispatch, pair sampling on device
+                # (within-scene type mixes only). K is clamped to the largest
+                # divisor of num_iterations so runs end exactly on schedule.
+                type_probs = getattr(self._dataset, "_data_type_probabilities", {0: 1.0})
+                within_only = set(type_probs.keys()) <= {0}
+                n_iter = int(t["num_iterations"])
+                k_eff = next(
+                    (k for k in range(min(steps_per_dispatch, n_iter), 0, -1)
+                     if n_iter % k == 0), 1,
+                )
+                if k_eff > 1 and within_only and assembler_cfg.use_matrix_loss:
+                    from pdc_tpu.training.scanned import make_scanned_train_step
+
+                    scanned_step = make_scanned_train_step(
+                        self._model, self._tx, loss_cfg, assembler_cfg, W,
+                        cache, self._batch_size, k_eff,
+                    )
+                else:
+                    train_step = make_cached_train_step(
+                        self._model, self._tx, loss_cfg, assembler_cfg, W, cache
+                    )
             except MemoryError as e:
                 logger.warning("device cache disabled: %s", e)
                 cache = None
@@ -443,39 +464,53 @@ class DenseCorrespondenceTraining:
         # worker pool, training.py:96-97)
         from pdc_tpu.data.native_loader import PrefetchLoader
 
-        if cache is not None:
-            prefetch = PrefetchLoader(
-                lambda: cache.sample_index_batch(self._batch_size),
-                depth=2, to_device=False,
-            )
-        else:
-            prefetch = PrefetchLoader(
-                lambda: self._dataset.make_host_batch(self._batch_size), depth=2
-            )
+        prefetch = None
+        if scanned_step is None:
+            if cache is not None:
+                prefetch = PrefetchLoader(
+                    lambda: cache.sample_index_batch(self._batch_size),
+                    depth=2, to_device=False,
+                )
+            else:
+                prefetch = PrefetchLoader(
+                    lambda: self._dataset.make_host_batch(self._batch_size), depth=2
+                )
+
+        metric_keys = ("loss", "match_loss", "masked_non_match_loss",
+                       "background_non_match_loss", "blind_non_match_loss")
         it = loss_current_iteration
         while it < max_iterations:
-            it += 1
-            if profile_dir and it == loss_current_iteration + 2 and not profiling:
+            if profile_dir and it == loss_current_iteration + 1 and not profiling:
                 jax.profiler.start_trace(profile_dir)
                 profiling = True
-            if profiling and it == loss_current_iteration + 2 + profile_steps:
+            if profiling and it >= loss_current_iteration + 1 + profile_steps:
                 jax.profiler.stop_trace()
                 profiling = False
             t0 = time.time()
-            batch = prefetch.next()
             key, step_key = jax.random.split(key)
-            self._state, metrics = train_step(self._state, batch, step_key)
-            # metrics stay on device; they are appended as jax arrays and
-            # materialize lazily (a per-step device_get costs a full round
-            # trip — measured ~0.5 s/step through the TPU tunnel)
-            elapsed = time.time() - t0
-
             tl = self._logging_dict["train"]
-            tl["iteration"].append(it)
-            tl["learning_rate"].append(host_lr(self._config, it))
-            for k in ("loss", "match_loss", "masked_non_match_loss",
-                      "background_non_match_loss", "blind_non_match_loss"):
-                tl[k].append(metrics[k])
+            if scanned_step is not None:
+                # K steps per dispatch, sampling on device
+                self._state, metrics = scanned_step(self._state, step_key)
+                k_steps = int(metrics["loss"].shape[0])
+                for j in range(k_steps):
+                    it += 1
+                    tl["iteration"].append(it)
+                    tl["learning_rate"].append(host_lr(self._config, it))
+                    for k in metric_keys:
+                        tl[k].append(metrics[k][j])
+            else:
+                it += 1
+                batch = prefetch.next()
+                self._state, metrics = train_step(self._state, batch, step_key)
+                # metrics stay on device; they are appended as jax arrays and
+                # materialize lazily (a per-step device_get costs a full
+                # round trip — measured ~0.5 s/step through the TPU tunnel)
+                tl["iteration"].append(it)
+                tl["learning_rate"].append(host_lr(self._config, it))
+                for k in metric_keys:
+                    tl[k].append(metrics[k])
+            elapsed = time.time() - t0
 
             if progress_callback is not None:
                 progress_callback(it, metrics)
@@ -504,7 +539,8 @@ class DenseCorrespondenceTraining:
                 for k in ("loss", "match_loss", "non_match_loss"):
                     te[k].append(float(np.mean([m[k] for m in test_metrics])))
 
-        prefetch.stop()
+        if prefetch is not None:
+            prefetch.stop()
         self._materialize_metrics()
         self._flush_tensorboard(it)
         if self._tb_writer is not None:
