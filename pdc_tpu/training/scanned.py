@@ -77,10 +77,17 @@ def device_sample_pairs(key, scene_offsets, scene_lengths, poses, batch_size: in
 
 def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
                             assembler_cfg: AssemblerConfig, image_width: int,
-                            cache, batch_size: int, steps_per_dispatch: int):
+                            cache, batch_size: int, steps_per_dispatch: int,
+                            mesh=None, data_axis: str = "data"):
     """Build step(state, key) -> (state, metrics dict of [K] arrays).
 
     ``cache`` is a :class:`pdc_tpu.data.device_cache.DeviceCache`.
+
+    With ``mesh`` given, the step is data-parallel over the mesh's
+    ``data_axis``: every chip samples its own ``batch_size`` pairs (the
+    GLOBAL batch is ``batch_size * n_chips``), computes local gradients, and
+    the update uses a ``pmean`` over ICI — the scan composes with DP, so a
+    pod runs K global steps per host dispatch.
     """
     assemble_batch, compose = pick_assembly(assembler_cfg)
     loss_fn = build_loss_fn(model, loss_cfg, image_width, compose)
@@ -94,8 +101,13 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
     poses_dev = jnp.asarray(cache.poses, jnp.float32)
     Ks_dev = jnp.asarray(cache.Ks, jnp.float32)
 
+    distributed = mesh is not None
+
     def one_step(carry, key, rgb, depth, mask):
         state = carry
+        if distributed:
+            # decorrelate sampling across chips
+            key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         k_sample, k_assemble = jax.random.split(key)
         fa, fb, mt = device_sample_pairs(
             k_sample, offsets, lengths, poses_dev, batch_size
@@ -116,6 +128,10 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(state.params, state.batch_stats, img_a, img_b, indices)
+        if distributed:
+            grads = jax.lax.pmean(grads, data_axis)
+            new_stats = jax.lax.pmean(new_stats, data_axis)
+            metrics = jax.lax.pmean(metrics, data_axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(step=state.step + 1, params=new_params,
@@ -128,9 +144,39 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
             lambda c, k: one_step(c, k, rgb, depth, mask), state, keys
         )
 
-    jitted = jax.jit(multi_step, donate_argnums=(0,))
+    if not distributed:
+        jitted = jax.jit(multi_step, donate_argnums=(0,))
+
+        def run(state, key):
+            return jitted(state, cache.rgb, cache.depth, cache.mask, key)
+
+        return run
+
+    # DP: everything replicated; per-chip divergence comes from the key
+    # fold-in. shard_map keeps the collectives explicit and compile-checked.
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = P()
+    try:
+        mapped = shard_map(
+            multi_step, mesh=mesh,
+            in_specs=(repl, repl, repl, repl, repl),
+            out_specs=(repl, repl),
+            check_vma=False,
+        )
+    except TypeError:  # older jax kwarg name
+        mapped = shard_map(
+            multi_step, mesh=mesh,
+            in_specs=(repl, repl, repl, repl, repl),
+            out_specs=(repl, repl),
+            check_rep=False,
+        )
+    jitted = jax.jit(mapped, donate_argnums=(0,))
+    repl_sharding = NamedSharding(mesh, P())
 
     def run(state, key):
+        key = jax.device_put(key, repl_sharding)
         return jitted(state, cache.rgb, cache.depth, cache.mask, key)
 
     return run
