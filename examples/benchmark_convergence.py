@@ -25,6 +25,7 @@ def main():
     p.add_argument("--height", type=int, default=96)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--resnet", default="Resnet34_8s")
+    p.add_argument("--dtype", default="float32", choices=["float32", "bfloat16"])
     p.add_argument("--out", default=None)
     args = p.parse_args()
 
@@ -50,7 +51,7 @@ def main():
         save_rate=100000, logging_rate=100,
     )
     cfg["dense_correspondence_network"].update(
-        image_width=W, image_height=H)
+        image_width=W, image_height=H, compute_dtype=args.dtype)
     cfg["dense_correspondence_network"]["backbone"]["resnet_name"] = args.resnet
 
     trainer = DenseCorrespondenceTraining(config=cfg, dataset=dataset)
@@ -63,9 +64,11 @@ def main():
         dcn, dataset, num_image_pairs=20, num_matches_per_image_pair=50,
     )
     px = df["pixel_match_error_l2"].dropna().to_numpy()
+    px_masked = df["pixel_match_error_l2_masked"].dropna().to_numpy()
     losses = trainer._logging_dict["train"]["loss"]
     result = {
         "steps": args.steps,
+        "dtype": args.dtype,
         "resolution": f"{W}x{H}",
         "batch_size": args.batch_size,
         "train_seconds": round(train_time, 1),
@@ -78,6 +81,8 @@ def main():
         "pck_at_5px": round(cdf_at_threshold(px, 5), 4),
         "pck_at_10px": round(cdf_at_threshold(px, 10), 4),
         "median_px_error": round(float(np.median(px)), 2),
+        "pck_at_5px_masked": round(cdf_at_threshold(px_masked, 5), 4),
+        "median_px_error_masked": round(float(np.median(px_masked)), 2),
     }
     print(json.dumps(result, indent=2))
     if args.out:
