@@ -82,6 +82,18 @@ class HeatmapVisualization:
         self._engine = HeatmapEngine(self._dcns, variance)
         self._rgb_a = self._rgb_b = None
 
+    @staticmethod
+    def from_config(dataset, config: dict, networks_root: str = "trained_models"):
+        """Build from a heatmap_vis config (configs/heatmap_vis.yaml, same
+        schema as the reference's heatmap.yaml: 'networks' name list +
+        'kernel_variance')."""
+        import os
+
+        folders = [os.path.join(networks_root, n) for n in config["networks"]]
+        return HeatmapVisualization(
+            dataset, folders, variance=float(config.get("kernel_variance", 0.25))
+        )
+
     def _get_new_images(self):
         pair = self._dataset.sample_pair()
         self._rgb_a, self._rgb_b = pair.rgb_a, pair.rgb_b

@@ -85,13 +85,18 @@ class AssemblerConfig:
             num_matching_attempts=int(t["num_matching_attempts"]),
             num_masked_non_matches_per_match=int(nm * float(t["fraction_masked_non_matches"])),
             num_background_non_matches_per_match=int(nm * float(t["fraction_background_non_matches"])),
+            num_blind_samples=int(t.get("num_blind_samples", 5000)),
             cross_scene_num_samples=int(t.get("cross_scene_num_samples", 10000)),
             domain_randomize=bool(t.get("domain_randomize", True)),
+            flip_augmentation=bool(t.get("flip_augmentation", True)),
             sample_matches_only_off_mask=bool(t.get("sample_matches_only_off_mask", True)),
             use_image_b_mask_inv=bool(t.get("use_image_b_mask_inv", True)),
             enable_synthetic_multi_object=float(
                 probs.get("SYNTHETIC_MULTI_OBJECT", 0)
             ) > 0,
+            use_matrix_loss=bool(t.get("use_matrix_loss", True)),
+            masked_pool_size=int(t.get("masked_pool_size", 1024)),
+            background_pool_size=int(t.get("background_pool_size", 1024)),
         )
 
 

@@ -217,6 +217,7 @@ class DenseCorrespondenceTraining:
         self._tx = None
         self._model = None
         self._start_iteration = 0
+        self._pending_metrics = []
 
     @property
     def dataset(self):
@@ -490,26 +491,23 @@ class DenseCorrespondenceTraining:
             key, step_key = jax.random.split(key)
             tl = self._logging_dict["train"]
             if scanned_step is not None:
-                # K steps per dispatch, sampling on device
+                # K steps per dispatch, sampling on device; the [K] metric
+                # arrays are queued whole and fetched in one batch at logging
+                # boundaries (per-element fetches cost a round trip each)
                 self._state, metrics = scanned_step(self._state, step_key)
                 k_steps = int(metrics["loss"].shape[0])
+                self._pending_metrics.append((metrics, k_steps))
                 for j in range(k_steps):
                     it += 1
                     tl["iteration"].append(it)
                     tl["learning_rate"].append(host_lr(self._config, it))
-                    for k in metric_keys:
-                        tl[k].append(metrics[k][j])
             else:
                 it += 1
                 batch = prefetch.next()
                 self._state, metrics = train_step(self._state, batch, step_key)
-                # metrics stay on device; they are appended as jax arrays and
-                # materialize lazily (a per-step device_get costs a full
-                # round trip — measured ~0.5 s/step through the TPU tunnel)
+                self._pending_metrics.append((metrics, 1))
                 tl["iteration"].append(it)
                 tl["learning_rate"].append(host_lr(self._config, it))
-                for k in metric_keys:
-                    tl[k].append(metrics[k])
             elapsed = time.time() - t0
 
             if progress_callback is not None:
@@ -549,13 +547,20 @@ class DenseCorrespondenceTraining:
         return self._logging_dir
 
     def _materialize_metrics(self):
-        """Convert any still-on-device metric entries to python floats
-        (one batched fetch instead of per-step round trips)."""
-        for d in self._logging_dict.values():
-            for k, vec in d.items():
-                for i, v in enumerate(vec):
-                    if not isinstance(v, (int, float)):
-                        vec[i] = float(jax.device_get(v))
+        """Drain queued per-dispatch metric dicts into the logging lists with
+        one batched device_get — per-element fetches cost a full round trip
+        each (they dominated the loop through the TPU tunnel)."""
+        if not self._pending_metrics:
+            return
+        fetched = jax.device_get([m for m, _ in self._pending_metrics])
+        tl = self._logging_dict["train"]
+        keys = ("loss", "match_loss", "masked_non_match_loss",
+                "background_non_match_loss", "blind_non_match_loss")
+        for vals, (_, k_steps) in zip(fetched, self._pending_metrics):
+            for k in keys:
+                v = np.asarray(vals[k]).reshape(-1)
+                tl[k].extend(float(x) for x in (v if k_steps > 1 else v[:1]))
+        self._pending_metrics = []
 
     # -- conveniences ------------------------------------------------------------------
 
