@@ -1,6 +1,5 @@
 from pdc_tpu.ops.sampling import sample_from_mask, sample_uniform_pixels
 from pdc_tpu.ops.correspondence import (
-    CorrespondenceConfig,
     find_pixel_correspondences,
     create_non_correspondences,
     make_blind_non_matches,

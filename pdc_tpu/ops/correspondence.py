@@ -23,9 +23,6 @@ Returns fixed-shape (uv_a, uv_b, valid) instead of pruned lists.
 
 from __future__ import annotations
 
-import dataclasses
-
-
 import jax
 import jax.numpy as jnp
 
@@ -33,16 +30,6 @@ from pdc_tpu.geom.camera import project_to_image, unproject_to_camera
 from pdc_tpu.geom.transforms import invert_se3, transform_points
 from pdc_tpu.ops.sampling import sample_from_mask, sample_uniform_pixels
 from pdc_tpu.utils.constants import DEPTH_IM_SCALE, OCCLUSION_MARGIN
-
-
-@dataclasses.dataclass(frozen=True)
-class CorrespondenceConfig:
-    """Static configuration for correspondence generation."""
-
-    num_attempts: int = 10000
-    occlusion_margin: float = OCCLUSION_MARGIN
-    depth_scale: float = DEPTH_IM_SCALE
-    fov_epsilon: float = 1e-3  # reference uses W - 1e-3 as the upper bound
 
 
 def find_pixel_correspondences(

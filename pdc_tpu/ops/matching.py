@@ -15,7 +15,6 @@ tile-by-tile with a running min, avoiding the [HW, Q] distance matrix in HBM.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -82,23 +81,5 @@ def gaussian_heatmap_from_norm_diffs(norm_diffs, variance: float = 0.03):
     return jnp.exp(-jnp.asarray(norm_diffs, jnp.float32) / variance)
 
 
-@functools.partial(jax.jit, static_argnames=("num_shards",))
-def sharded_argmin_pixel_axis(dist2_flat, num_shards: int = 1):
-    """Argmin over a flattened pixel axis, structured so GSPMD can shard the
-    axis over a mesh: a two-stage reduce (per-shard min + cross-shard min)
-    expressed as a reshape — XLA turns the second stage into a tiny
-    collective when the first axis is sharded.
-
-    :param dist2_flat: [HW, Q]
-    :return: (flat_idx [Q] int32, min_val [Q])
-    """
-    HW, Q = dist2_flat.shape
-    chunk = HW // num_shards
-    x = dist2_flat.reshape(num_shards, chunk, Q)
-    local_idx = jnp.argmin(x, axis=1)  # [S, Q]
-    local_min = jnp.min(x, axis=1)  # [S, Q]
-    shard = jnp.argmin(local_min, axis=0)  # [Q]
-    min_val = jnp.take_along_axis(local_min, shard[None, :], axis=0)[0]
-    idx_in_shard = jnp.take_along_axis(local_idx, shard[None, :], axis=0)[0]
-    flat_idx = shard * chunk + idx_in_shard
-    return flat_idx.astype(jnp.int32), min_val
+# Pixel-axis-sharded argmin lives in pdc_tpu.parallel.sharded_train
+# (make_pixel_sharded_best_match) — explicit shard_map + all_gather.

@@ -314,13 +314,33 @@ class DenseCorrespondenceTraining:
 
     def save_network(self, iteration: int):
         """%06d.ckpt (params+batch_stats) + %06d.ckpt.opt (optimizer) +
-        rolling loss.yaml (reference training.py:501-521)."""
+        rolling loss.yaml (reference training.py:501-521).
+
+        Checkpoints are written atomically (tmp file + rename) and the
+        device fetch retries once — transient backend errors on a remote
+        TPU runtime must not lose a long run.
+        """
         tag = "%06d" % iteration
         variables = {"params": self._state.params, "batch_stats": self._state.batch_stats}
-        with open(os.path.join(self._logging_dir, tag + ".ckpt"), "wb") as f:
-            f.write(flax.serialization.to_bytes(variables))
-        with open(os.path.join(self._logging_dir, tag + ".ckpt.opt"), "wb") as f:
-            f.write(flax.serialization.to_bytes(self._state.opt_state))
+
+        def write_atomic(path, pytree):
+            for attempt in (0, 1):
+                try:
+                    data = flax.serialization.to_bytes(jax.device_get(pytree))
+                    tmp = path + ".tmp"
+                    with open(tmp, "wb") as f:
+                        f.write(data)
+                    os.replace(tmp, path)
+                    return
+                except Exception:
+                    if attempt == 1:
+                        raise
+                    logger.warning("checkpoint fetch failed; retrying once")
+                    time.sleep(2.0)
+
+        write_atomic(os.path.join(self._logging_dir, tag + ".ckpt"), variables)
+        write_atomic(os.path.join(self._logging_dir, tag + ".ckpt.opt"),
+                     self._state.opt_state)
         save_yaml(self._logging_dict, os.path.join(self._logging_dir, tag + "_log_history.yaml"))
         current = {
             split: {k: (v[-1] if len(v) else -1) for k, v in d.items()}
