@@ -1,0 +1,123 @@
+"""Reference-config compatibility: a verbatim-shaped reference training.yaml
+dict (same keys/values as the CoRL-2018 release) must drive every consumer —
+dataset parameter injection, assembler, loss config, optimizer, network
+factory — without modification."""
+
+import jax
+import numpy as np
+
+REFERENCE_STYLE_CONFIG = {
+    "training": {
+        "learning_rate": 1.0e-4,
+        "learning_rate_decay": 0.9,
+        "steps_between_learning_rate_decay": 250,
+        "weight_decay": 1.0e-4,
+        "num_iterations": 3500,
+        "num_workers": 5,
+        "compute_test_loss": False,
+        "compute_test_loss_rate": 500,
+        "test_loss_num_iterations": 50,
+        "garbage_collect_rate": 1,
+        "batch_size": 1,
+        "domain_randomize": True,
+        "num_matching_attempts": 10000,
+        "sample_matches_only_off_mask": True,
+        "num_non_matches_per_match": 150,
+        "fraction_masked_non_matches": 0.5,
+        "fraction_background_non_matches": 0.5,
+        "use_image_b_mask_inv": True,
+        "cross_scene_num_samples": 10000,
+        "data_type_probabilities": {
+            "SINGLE_OBJECT_WITHIN_SCENE": 1,
+            "SINGLE_OBJECT_ACROSS_SCENE": 0,
+            "DIFFERENT_OBJECT": 0,
+            "MULTI_OBJECT": 0,
+            "SYNTHETIC_MULTI_OBJECT": 0,
+        },
+        "loss_function": "pixelwise_contrastive_loss",
+        "logging_rate": 100,
+        "save_rate": 1000,
+        "logging_dir_name": "test",
+        "logging_dir": "trained_models",
+    },
+    "dense_correspondence_network": {
+        "descriptor_dimension": 3,
+        "image_width": 640,
+        "image_height": 480,
+        "normalize": False,
+        "backbone": {"model_class": "Resnet", "resnet_name": "Resnet34_8s"},
+    },
+    "loss_function": {
+        "M_masked": 0.5,
+        "M_background": 0.5,
+        "M_pixel": 50,
+        "match_loss_weight": 1.0,
+        "non_match_loss_weight": 1.0,
+        "use_l2_pixel_loss_on_masked_non_matches": False,
+        "use_l2_pixel_loss_on_background_non_matches": False,
+        "scale_by_hard_negatives": True,
+        "scale_by_hard_negatives_DIFFERENT_OBJECT": True,
+        "alpha_triplet": 0.1,
+    },
+}
+
+
+def test_dataset_parameter_injection():
+    from pdc_tpu.data.dataset import SpartanDataset
+
+    ds = SpartanDataset.make_synthetic(num_scenes=1, width=32, height=32, num_frames=4)
+    ds.set_parameters_from_training_config(REFERENCE_STYLE_CONFIG)
+    assert ds.num_matching_attempts == 10000
+    assert ds.num_masked_non_matches_per_match == 75
+    assert ds.num_background_non_matches_per_match == 75
+    assert ds.sample_matches_only_off_mask is True
+    assert ds._use_image_b_mask_inv is True
+    assert ds._domain_randomize is True
+    assert ds._data_type_probabilities == {0: 1.0}
+
+
+def test_assembler_config_from_reference():
+    from pdc_tpu.data.assembler import AssemblerConfig
+
+    cfg = AssemblerConfig.from_training_config(REFERENCE_STYLE_CONFIG)
+    assert cfg.num_matching_attempts == 10000
+    assert cfg.num_masked_non_matches_per_match == 75
+    assert cfg.num_background_non_matches_per_match == 75
+    assert cfg.enable_synthetic_multi_object is False
+    assert cfg.domain_randomize is True
+
+
+def test_loss_config_from_reference():
+    from pdc_tpu.losses.pixelwise_contrastive import LossConfig
+
+    cfg = LossConfig.from_dict(REFERENCE_STYLE_CONFIG["loss_function"])
+    assert cfg.M_masked == 0.5
+    assert cfg.M_pixel == 50
+    assert cfg.scale_by_hard_negatives is True
+    assert cfg.alpha_triplet == 0.1
+
+
+def test_network_factory_from_reference():
+    from pdc_tpu.models.dcn import build_backbone
+
+    model = build_backbone(REFERENCE_STYLE_CONFIG["dense_correspondence_network"])
+    assert model.stage_sizes == (3, 4, 6, 3)  # ResNet-34
+    assert model.output_stride == 8
+
+
+def test_optimizer_and_schedule_from_reference():
+    import optax
+
+    from pdc_tpu.training.schedule import host_lr
+    from pdc_tpu.training.train import make_optimizer
+
+    tx = make_optimizer(REFERENCE_STYLE_CONFIG)
+    params = {"w": jax.numpy.ones((3,))}
+    state = tx.init(params)
+    updates, _ = tx.update({"w": jax.numpy.ones((3,))}, state, params)
+    assert np.isfinite(np.asarray(updates["w"])).all()
+
+    # 0.9 decay every 250 steps
+    assert host_lr(REFERENCE_STYLE_CONFIG, 0) == 1e-4
+    assert abs(host_lr(REFERENCE_STYLE_CONFIG, 250) - 0.9e-4) < 1e-12
+    assert abs(host_lr(REFERENCE_STYLE_CONFIG, 999) - 0.9**3 * 1e-4) < 1e-12
