@@ -302,21 +302,108 @@ def assemble_sample_matrix(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
     return img_a, img_b, indices
 
 
+def assemble_synthetic_multi_object_sample_matrix(key, p1, p2, cfg: AssemblerConfig):
+    """Matrix-loss variant of the synthetic multi-object compositing path:
+    same merge/occlusion semantics as
+    :func:`assemble_synthetic_multi_object_sample`, but non-matches are
+    emitted as pools over the merged view-2 mask (and its complement), so
+    SMO samples run under the pooled MXU loss too."""
+    from pdc_tpu.losses.matrix_loss import MatrixSampleIndices
+
+    H, W = p1["depth_a"].shape
+    N = cfg.num_matching_attempts
+    half = N // 2
+    keys = jax.random.split(key, 8)
+
+    uv_a1, uv_a2, valid_a = find_pixel_correspondences(
+        p1["depth_a"], p1["pose_a"], p1["depth_b"], p1["pose_b"], p1["K"],
+        keys[0], num_attempts=half, mask_a=p1["mask_a"],
+    )
+    uv_b1, uv_b2, valid_b = find_pixel_correspondences(
+        p2["depth_a"], p2["pose_a"], p2["depth_b"], p2["pose_b"], p2["K"],
+        keys[1], num_attempts=half, mask_a=p2["mask_a"],
+    )
+
+    merged_1, merged_mask_1, (pa1, valid_a), (pb1, valid_b) = merge_images_with_occlusions(
+        keys[2], p1["rgb_a"], p2["rgb_a"], p1["mask_a"], p2["mask_a"],
+        (uv_a1, uv_a2), (uv_b1, uv_b2), valid_a, valid_b,
+    )
+    merged_2, merged_mask_2, (pa2, valid_a), (pb2, valid_b) = merge_images_with_occlusions(
+        keys[3], p1["rgb_b"], p2["rgb_b"], p1["mask_b"], p2["mask_b"],
+        (uv_a2, uv_a1), (uv_b2, uv_b1), valid_a, valid_b,
+    )
+
+    uv_1 = jnp.concatenate([uv_a1, uv_b1], axis=0)
+    uv_2 = jnp.concatenate([uv_a2.astype(jnp.float32),
+                            uv_b2.astype(jnp.float32)], axis=0)
+    match_valid = jnp.concatenate([valid_a, valid_b], axis=0)
+
+    pool_m_uv, pool_m_ok = sample_from_mask(keys[4], merged_mask_2, cfg.masked_pool_size)
+    inv_mask = 1 - (merged_mask_2 != 0).astype(jnp.uint8)
+    pool_b_uv, pool_b_ok = sample_from_mask(keys[5], inv_mask, cfg.background_pool_size)
+
+    mean = jnp.asarray(cfg.image_mean, jnp.float32)
+    std = jnp.asarray(cfg.image_std, jnp.float32)
+    img_1 = (merged_1.astype(jnp.float32) / 255.0 - mean) / std
+    img_2 = (merged_2.astype(jnp.float32) / 255.0 - mean) / std
+
+    indices = MatrixSampleIndices(
+        matches_a=_flatten_uv(uv_1, W),
+        matches_b=_flatten_uv(uv_2, W),
+        matches_uv_b=uv_2.astype(jnp.float32),
+        matches_valid=match_valid,
+        masked_pool_b=_flatten_uv(pool_m_uv, W),
+        masked_pool_valid=jnp.broadcast_to(pool_m_ok, (cfg.masked_pool_size,)),
+        background_pool_b=_flatten_uv(pool_b_uv, W),
+        background_pool_valid=jnp.broadcast_to(pool_b_ok, (cfg.background_pool_size,)),
+        blind_nm_a=jnp.zeros((cfg.num_blind_samples,), jnp.int32),
+        blind_nm_b=jnp.zeros((cfg.num_blind_samples,), jnp.int32),
+        blind_nm_valid=jnp.zeros((cfg.num_blind_samples,), bool),
+        match_type=jnp.asarray(4, jnp.int32),
+    )
+    return img_1, img_2, indices
+
+
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def assemble_batch_matrix(key, batch, cfg: AssemblerConfig):
-    """vmapped :func:`assemble_sample_matrix` over a host batch dict."""
+    """vmapped :func:`assemble_sample_matrix` over a host batch dict. With
+    ``cfg.enable_synthetic_multi_object``, SMO rows take the composited
+    matrix path (one executable for mixed batches, as in the legacy mode)."""
     B = batch["rgb_a"].shape[0]
     keys = jax.random.split(key, B)
-    return jax.vmap(
-        lambda k, ra, da, ma, pa, rb, db, mb, pb, K, mt: assemble_sample_matrix(
-            k, ra, da, ma, pa, rb, db, mb, pb, K, mt, cfg
+
+    def one(k, ra, da, ma, pa, rb, db, mb, pb, K, mt,
+            ra2=None, da2=None, ma2=None, pa2=None,
+            rb2=None, db2=None, mb2=None, pb2=None, K2=None):
+        base = assemble_sample_matrix(k, ra, da, ma, pa, rb, db, mb, pb, K, mt, cfg)
+        if not cfg.enable_synthetic_multi_object:
+            return base
+        smo = assemble_synthetic_multi_object_sample_matrix(
+            k,
+            {"rgb_a": ra, "depth_a": da, "mask_a": ma, "pose_a": pa,
+             "rgb_b": rb, "depth_b": db, "mask_b": mb, "pose_b": pb, "K": K},
+            {"rgb_a": ra2, "depth_a": da2, "mask_a": ma2, "pose_a": pa2,
+             "rgb_b": rb2, "depth_b": db2, "mask_b": mb2, "pose_b": pb2, "K": K2},
+            cfg,
         )
-    )(
+        is_smo = mt == 4
+        img_a, img_b, idx = _select_sample(is_smo, base, smo)
+        idx = idx._replace(match_type=mt.astype(jnp.int32))
+        return img_a, img_b, idx
+
+    args = [
         keys,
         batch["rgb_a"], batch["depth_a"], batch["mask_a"], batch["pose_a"],
         batch["rgb_b"], batch["depth_b"], batch["mask_b"], batch["pose_b"],
         batch["K"], batch["match_type"],
-    )
+    ]
+    if cfg.enable_synthetic_multi_object:
+        args += [
+            batch["rgb_a_2"], batch["depth_a_2"], batch["mask_a_2"], batch["pose_a_2"],
+            batch["rgb_b_2"], batch["depth_b_2"], batch["mask_b_2"], batch["pose_b_2"],
+            batch["K_2"],
+        ]
+    return jax.vmap(one)(*args)
 
 
 def assemble_synthetic_multi_object_sample(key, p1, p2, cfg: AssemblerConfig):

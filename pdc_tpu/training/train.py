@@ -83,11 +83,10 @@ def pick_assembly(assembler_cfg: AssemblerConfig):
     Matrix/pooled (default): non-matches as shared candidate pools, hinge
     over an [Nm, P] MXU distance matrix — the TPU-fast path (the per-pair
     path's backward scatter-add of ~24M rows costs ~1.9 s/step at 640x480).
-    Per-pair: reference-faithful replicated index lists; required for
-    SYNTHETIC_MULTI_OBJECT compositing.
+    Per-pair: reference-faithful replicated index lists (use_matrix_loss:
+    false). Both support SYNTHETIC_MULTI_OBJECT compositing.
     """
-    use_matrix = assembler_cfg.use_matrix_loss and not assembler_cfg.enable_synthetic_multi_object
-    if use_matrix:
+    if assembler_cfg.use_matrix_loss:
         from pdc_tpu.data.assembler import assemble_batch_matrix
         from pdc_tpu.losses.matrix_loss import compose_loss_matrix
 
