@@ -451,12 +451,17 @@ class SpartanDataset:
 
     @staticmethod
     def make_synthetic(num_scenes: int = 2, num_objects: int = 2, **scene_kwargs):
-        """Build a fully in-memory synthetic dataset (tests, benchmarks)."""
+        """Build a fully in-memory synthetic dataset (tests, benchmarks).
+
+        Scenes of the same object share a texture (so across-scene
+        same-object attraction is learnable); different objects get distinct
+        textures (so different-object repulsion is learnable)."""
         from pdc_tpu.data.synthetic import SyntheticScene
 
         scenes = []
         for i in range(num_scenes):
-            sc = SyntheticScene(seed=i, **scene_kwargs)
-            oid = f"object_{i % max(num_objects, 1)}"
-            scenes.append(SceneData.from_synthetic(sc, name=f"scene_{i:03d}", object_id=oid))
+            obj = i % max(num_objects, 1)
+            sc = SyntheticScene(seed=i, texture_seed=obj, **scene_kwargs)
+            scenes.append(SceneData.from_synthetic(sc, name=f"scene_{i:03d}",
+                                                   object_id=f"object_{obj}"))
         return SpartanDataset(scenes=scenes)

@@ -62,6 +62,10 @@ class SyntheticScene:
     # Optional occluder: elevated rectangle [x0, x1] x [y0, y1] at height z
     occluder: tuple | None = None  # e.g. (0.05, 0.25, -0.1, 0.1, 0.15)
     seed: int = 0
+    # texture identity: scenes of the same physical object must share it
+    # (across-scene attraction assumes the object looks the same); different
+    # objects should differ so different-object repulsion is learnable
+    texture_seed: int = 0
 
     def __post_init__(self):
         f = 0.9 * self.width  # focal
@@ -142,11 +146,13 @@ class SyntheticScene:
         # lattice of aliased colors exists and best-match ground truth is
         # unambiguous over the working area.
         x, y = p_world[..., 0], p_world[..., 1]
+        ts = float(self.texture_seed)
         rgb = np.stack(
             [
-                0.5 + 0.5 * np.sin(21.0 * x + 9.0 * y),
-                0.5 + 0.5 * np.sin(-7.0 * x + 25.0 * y + 30.0 * x * y + 1.0),
-                0.5 + 0.5 * np.sin(40.0 * (x * x - y * y) + 13.0 * x - 11.0 * y + 2.0),
+                0.5 + 0.5 * np.sin(21.0 * x + 9.0 * y + 2.4 * ts),
+                0.5 + 0.5 * np.sin(-7.0 * x + 25.0 * y + 30.0 * x * y + 1.0 + 4.9 * ts),
+                0.5 + 0.5 * np.sin(40.0 * (x * x - y * y) + 13.0 * x - 11.0 * y
+                                   + 2.0 + 7.6 * ts + 8.0 * ts * x),
             ],
             axis=-1,
         )

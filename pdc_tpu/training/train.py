@@ -34,7 +34,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from pdc_tpu.data.assembler import AssemblerConfig, assemble_batch, assemble_sample
+from pdc_tpu.data.assembler import AssemblerConfig, assemble_batch
 from pdc_tpu.losses.composer import compose_loss
 from pdc_tpu.losses.pixelwise_contrastive import LossConfig
 from pdc_tpu.models.dcn import DenseCorrespondenceNetwork, build_backbone
