@@ -38,6 +38,107 @@ POSE_ANGLE_THRESHOLD = 20.0   # degrees
 NUM_POSE_CANDIDATES = 16      # rejection-sampling candidates per pair
 
 
+def build_sampling_tables(cache):
+    """Device tables for type-mixed pair sampling from a DeviceCache.
+
+    :return: dict with scene_offsets [S], scene_lengths [S],
+        scenes_by_object [O, Mmax] (scene indices, -1 padded),
+        scenes_per_object [O]
+    """
+    names = sorted(cache.scene_offsets)
+    offsets = jnp.asarray([cache.scene_offsets[n] for n in names], jnp.int32)
+    lengths = jnp.asarray([cache.scene_lengths[n] for n in names], jnp.int32)
+
+    object_scenes = {}
+    for si, n in enumerate(names):
+        oid = cache.dataset.scenes[n].object_id or n
+        object_scenes.setdefault(oid, []).append(si)
+    objs = sorted(object_scenes)
+    mmax = max(len(v) for v in object_scenes.values())
+    table = np.full((len(objs), mmax), -1, np.int32)
+    counts = np.zeros((len(objs),), np.int32)
+    for oi, o in enumerate(objs):
+        for j, si in enumerate(object_scenes[o]):
+            table[oi, j] = si
+        counts[oi] = len(object_scenes[o])
+    return {
+        "scene_offsets": offsets,
+        "scene_lengths": lengths,
+        "scenes_by_object": jnp.asarray(table),
+        "scenes_per_object": jnp.asarray(counts),
+    }
+
+
+def device_sample_pairs_mixed(key, tables, poses, batch_size: int,
+                              type_probs: tuple):
+    """Type-mixed on-device pair sampling.
+
+    :param type_probs: static tuple of (match_type, probability) pairs over
+        {0 within-scene, 1 across-scene, 2 different-object}
+    :return: (frame_a [B], frame_b [B], match_type [B]) int32
+    """
+    offsets = tables["scene_offsets"]
+    lengths = tables["scene_lengths"]
+    by_obj = tables["scenes_by_object"]
+    per_obj = tables["scenes_per_object"]
+    S = offsets.shape[0]
+    O = by_obj.shape[0]
+
+    types = jnp.asarray([t for t, _ in type_probs], jnp.int32)
+    weights = jnp.asarray([p for _, p in type_probs], jnp.float32)
+    weights = weights / jnp.sum(weights)
+
+    def frame_in_scene(k, s):
+        return offsets[s] + jax.random.randint(k, (), 0, lengths[s])
+
+    def one(k):
+        ks = jax.random.split(k, 8)
+        mt = types[jax.random.categorical(ks[0], jnp.log(weights))]
+
+        # -- within-scene: pose-difference rejection (reference thresholds)
+        s_w = jax.random.randint(ks[1], (), 0, S)
+        fa_w = frame_in_scene(ks[2], s_w)
+        cand = offsets[s_w] + jax.random.randint(
+            ks[3], (NUM_POSE_CANDIDATES,), 0, lengths[s_w]
+        )
+        pa = poses[fa_w]
+        pc = poses[cand]
+        dist = jnp.linalg.norm(pc[:, :3, 3] - pa[:3, 3], axis=1)
+        rel = jnp.einsum("ij,kil->kjl", pa[:3, :3], pc[:, :3, :3])
+        cos = jnp.clip((jnp.trace(rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+        ang = jnp.degrees(jnp.arccos(cos))
+        ok = (dist > POSE_DIST_THRESHOLD) | (ang > POSE_ANGLE_THRESHOLD)
+        fb_w = jnp.where(ok.any(), cand[jnp.argmax(ok)], fa_w)
+        mt_w = jnp.where(ok.any(), 0, -1).astype(jnp.int32)
+
+        # -- across-scene: two scenes of one object (falls back to the same
+        # scene when the object has only one, mirroring the host sampler)
+        o_x = jax.random.randint(ks[4], (), 0, O)
+        n_o = per_obj[o_x]
+        i1 = jax.random.randint(ks[5], (), 0, n_o)
+        i2 = jnp.where(n_o > 1, (i1 + 1 + jax.random.randint(ks[6], (), 0, jnp.maximum(n_o - 1, 1))) % n_o, i1)
+        s_x1 = by_obj[o_x, i1]
+        s_x2 = by_obj[o_x, i2]
+
+        # -- different-object: two distinct objects (requires O >= 2)
+        o_d1 = o_x
+        o_d2 = jnp.where(O > 1, (o_x + 1 + jax.random.randint(ks[7], (), 0, max(O - 1, 1))) % O, o_x)
+        s_d1 = by_obj[o_d1, jax.random.randint(ks[5], (), 0, per_obj[o_d1])]
+        s_d2 = by_obj[o_d2, jax.random.randint(ks[6], (), 0, per_obj[o_d2])]
+
+        is_within = mt == 0
+        is_across = mt == 1
+        s_a = jnp.where(is_within, s_w, jnp.where(is_across, s_x1, s_d1))
+        s_b = jnp.where(is_within, s_w, jnp.where(is_across, s_x2, s_d2))
+        fa = jnp.where(is_within, fa_w, frame_in_scene(ks[2], s_a))
+        fb = jnp.where(is_within, fb_w, frame_in_scene(ks[3], s_b))
+        mt_out = jnp.where(is_within, mt_w, mt)
+        return fa.astype(jnp.int32), fb.astype(jnp.int32), mt_out
+
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(one)(keys)
+
+
 def device_sample_pairs(key, scene_offsets, scene_lengths, poses, batch_size: int):
     """Sample ``batch_size`` within-scene frame pairs on device.
 
@@ -78,10 +179,16 @@ def device_sample_pairs(key, scene_offsets, scene_lengths, poses, batch_size: in
 def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
                             assembler_cfg: AssemblerConfig, image_width: int,
                             cache, batch_size: int, steps_per_dispatch: int,
-                            mesh=None, data_axis: str = "data"):
+                            mesh=None, data_axis: str = "data",
+                            type_probs=None):
     """Build step(state, key) -> (state, metrics dict of [K] arrays).
 
     ``cache`` is a :class:`pdc_tpu.data.device_cache.DeviceCache`.
+
+    ``type_probs`` (optional): tuple of (match_type, probability) pairs over
+    {0 within-scene, 1 across-scene, 2 different-object}; defaults to pure
+    within-scene sampling. SYNTHETIC_MULTI_OBJECT needs the per-step host
+    path (two image pairs per sample).
 
     With ``mesh`` given, the step is data-parallel over the mesh's
     ``data_axis``: every chip samples its own ``batch_size`` pairs (the
@@ -101,6 +208,11 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
     poses_dev = jnp.asarray(cache.poses, jnp.float32)
     Ks_dev = jnp.asarray(cache.Ks, jnp.float32)
 
+    mixed = type_probs is not None and any(t != 0 for t, p in type_probs if p > 0)
+    if mixed:
+        tables = build_sampling_tables(cache)
+        type_probs = tuple((t, p) for t, p in type_probs if p > 0)
+
     distributed = mesh is not None
 
     def one_step(carry, key, rgb, depth, mask):
@@ -109,9 +221,14 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
             # decorrelate sampling across chips
             key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         k_sample, k_assemble = jax.random.split(key)
-        fa, fb, mt = device_sample_pairs(
-            k_sample, offsets, lengths, poses_dev, batch_size
-        )
+        if mixed:
+            fa, fb, mt = device_sample_pairs_mixed(
+                k_sample, tables, poses_dev, batch_size, type_probs
+            )
+        else:
+            fa, fb, mt = device_sample_pairs(
+                k_sample, offsets, lengths, poses_dev, batch_size
+            )
         batch = {
             "match_type": mt,
             "rgb_a": jnp.take(rgb, fa, axis=0),

@@ -432,21 +432,24 @@ class DenseCorrespondenceTraining:
                 logger.info("device cache: %.0f MB", cache.nbytes / 1e6)
 
                 # fastest path: K steps per dispatch, pair sampling on device
-                # (within-scene type mixes only). K is clamped to the largest
-                # divisor of num_iterations so runs end exactly on schedule.
+                # (supports within-scene/across-scene/different-object mixes;
+                # MULTI_OBJECT and SYNTHETIC_MULTI_OBJECT need the host
+                # sampler). K is clamped to the largest divisor of
+                # num_iterations so runs end exactly on schedule.
                 type_probs = getattr(self._dataset, "_data_type_probabilities", {0: 1.0})
-                within_only = set(type_probs.keys()) <= {0}
+                scannable = set(type_probs.keys()) <= {0, 1, 2}
                 n_iter = int(t["num_iterations"])
                 k_eff = next(
                     (k for k in range(min(steps_per_dispatch, n_iter), 0, -1)
                      if n_iter % k == 0), 1,
                 )
-                if k_eff > 1 and within_only and assembler_cfg.use_matrix_loss:
+                if k_eff > 1 and scannable and assembler_cfg.use_matrix_loss:
                     from pdc_tpu.training.scanned import make_scanned_train_step
 
                     scanned_step = make_scanned_train_step(
                         self._model, self._tx, loss_cfg, assembler_cfg, W,
                         cache, self._batch_size, k_eff,
+                        type_probs=tuple(sorted(type_probs.items())),
                     )
                 else:
                     train_step = make_cached_train_step(

@@ -1,0 +1,114 @@
+"""Type-mixed on-device sampling + scanned training."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pdc_tpu.data.assembler import AssemblerConfig
+from pdc_tpu.data.dataset import SpartanDataset
+from pdc_tpu.data.device_cache import DeviceCache
+from pdc_tpu.losses.pixelwise_contrastive import LossConfig
+from pdc_tpu.models.dcn import build_backbone
+from pdc_tpu.training.scanned import (
+    build_sampling_tables,
+    device_sample_pairs_mixed,
+    make_scanned_train_step,
+)
+from pdc_tpu.training.train import create_train_state
+
+W, H = 64, 48
+TYPE_PROBS = ((0, 0.6), (1, 0.2), (2, 0.2))
+
+
+def _setup():
+    ds = SpartanDataset.make_synthetic(num_scenes=4, num_objects=2,
+                                       width=W, height=H, num_frames=6)
+    return ds, DeviceCache.from_dataset(ds)
+
+
+def test_mixed_sampler_distribution():
+    ds, cache = _setup()
+    tables = build_sampling_tables(cache)
+    poses = jnp.asarray(cache.poses, jnp.float32)
+    fa, fb, mt = device_sample_pairs_mixed(
+        jax.random.PRNGKey(0), tables, poses, 512, TYPE_PROBS
+    )
+    fa, fb, mt = map(np.asarray, (fa, fb, mt))
+    # frames in range
+    assert fa.min() >= 0 and fa.max() < 24
+    # types drawn roughly per the configured mix (-1 allowed for failed
+    # within-scene rejection)
+    frac_within = ((mt == 0) | (mt == -1)).mean()
+    assert 0.45 < frac_within < 0.75
+    assert 0.1 < (mt == 1).mean() < 0.35
+    assert 0.1 < (mt == 2).mean() < 0.35
+
+    scene_of = lambda f: f // 6
+    obj_of = lambda s: s % 2  # make_synthetic: object = scene % num_objects
+    # within: same scene
+    w = mt == 0
+    np.testing.assert_array_equal(scene_of(fa[w]), scene_of(fb[w]))
+    # across: same object, different scene (4 scenes/2 objects -> always possible)
+    x = mt == 1
+    assert (obj_of(scene_of(fa[x])) == obj_of(scene_of(fb[x]))).all()
+    assert (scene_of(fa[x]) != scene_of(fb[x])).all()
+    # different object
+    d = mt == 2
+    assert (obj_of(scene_of(fa[d])) != obj_of(scene_of(fb[d]))).all()
+
+
+def test_mixed_scanned_training():
+    ds, cache = _setup()
+    config = {
+        "training": {"learning_rate": 1e-3, "learning_rate_decay": 0.9,
+                     "steps_between_learning_rate_decay": 250,
+                     "weight_decay": 1e-4},
+        "dense_correspondence_network": {
+            "descriptor_dimension": 3,
+            "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+        },
+    }
+    model = build_backbone(config["dense_correspondence_network"])
+    state, tx = create_train_state(model, config, jax.random.PRNGKey(0), (H, W))
+    acfg = AssemblerConfig(num_matching_attempts=128, masked_pool_size=64,
+                           background_pool_size=64, num_blind_samples=32)
+    step = make_scanned_train_step(model, tx, LossConfig(), acfg, W, cache,
+                                   batch_size=2, steps_per_dispatch=3,
+                                   type_probs=TYPE_PROBS)
+    losses = []
+    key = jax.random.PRNGKey(0)
+    for i in range(4):
+        key, sub = jax.random.split(key)
+        state, m = step(state, sub)
+        losses.extend(np.asarray(m["loss"]).tolist())
+    assert len(losses) == 12
+    assert np.isfinite(losses).all()
+
+
+def test_trainer_scans_mixed_types(tmp_path):
+    import copy
+    import os
+
+    from pdc_tpu.training.train import DenseCorrespondenceTraining
+
+    ds, _ = _setup()
+    cfg = copy.deepcopy(DenseCorrespondenceTraining.load_default_config())
+    cfg["training"].update(
+        num_iterations=6, batch_size=2, num_matching_attempts=128,
+        masked_pool_size=64, background_pool_size=64, num_blind_samples=32,
+        steps_per_dispatch=3, save_rate=1000, logging_rate=1000,
+        logging_dir=os.path.join(str(tmp_path), "trained_models"),
+        logging_dir_name="mixed_scan",
+    )
+    cfg["training"]["data_type_probabilities"] = {
+        "SINGLE_OBJECT_WITHIN_SCENE": 0.6,
+        "SINGLE_OBJECT_ACROSS_SCENE": 0.2,
+        "DIFFERENT_OBJECT": 0.2,
+    }
+    cfg["dense_correspondence_network"].update(image_width=W, image_height=H)
+    cfg["dense_correspondence_network"]["backbone"]["resnet_name"] = "Resnet18_8s"
+
+    trainer = DenseCorrespondenceTraining(config=cfg, dataset=ds)
+    folder = trainer.run()
+    assert len(trainer._logging_dict["train"]["loss"]) == 6
+    assert os.path.exists(os.path.join(folder, "000006.ckpt"))
