@@ -139,6 +139,13 @@ def load_scene_frames(structure, indices: List[int], height: int, width: int):
     return rgb, depth, mask
 
 
+class _ProducerError:
+    """Sentinel carrying a producer-thread exception through the queue."""
+
+    def __init__(self, exc):
+        self.exc = exc
+
+
 class PrefetchLoader:
     """Double-buffered background batch producer.
 
@@ -163,24 +170,41 @@ class PrefetchLoader:
         self._thread.start()
 
     def _run(self):
+        import queue
+
         while not self._stop.is_set():
-            batch = self._make_batch()
-            if self._to_device:
-                try:
+            try:
+                batch = self._make_batch()
+                if self._to_device:
                     import jax
 
                     batch = {k: jax.device_put(v) for k, v in batch.items()}
-                except Exception:
-                    pass
+            except BaseException as exc:  # propagate to the consumer
+                # A producer failure must surface in next(), never hang the
+                # training loop: enqueue the exception itself and stop.
+                item = _ProducerError(exc)
+                while not self._stop.is_set():
+                    try:
+                        self._q.put(item, timeout=0.1)
+                        break
+                    except queue.Full:
+                        continue
+                return
             while not self._stop.is_set():
                 try:
                     self._q.put(batch, timeout=0.1)
                     break
-                except Exception:
+                except queue.Full:
                     continue
 
     def next(self):
-        return self._q.get()
+        item = self._q.get()
+        if isinstance(item, _ProducerError):
+            self.stop()
+            raise RuntimeError(
+                "PrefetchLoader producer thread failed"
+            ) from item.exc
+        return item
 
     def stop(self):
         self._stop.set()

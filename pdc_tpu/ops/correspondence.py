@@ -176,7 +176,7 @@ def create_non_correspondences(
     M = num_non_matches_per_match
     total = num_matches * M
 
-    k_pool, k_cand, k_flip, k_noise = jax.random.split(key, 4)
+    k_pool, k_cand, k_fallback, k_flip, k_noise = jax.random.split(key, 5)
 
     if mask_b is not None:
         # Two-stage masked sampling: an exact inverse-CDF *pool* of
@@ -192,7 +192,7 @@ def create_non_correspondences(
         else:
             pick = jax.random.randint(k_cand, (total,), 0, pool_size)
             cand = jnp.take(pool, pick, axis=0)
-        uniform = sample_uniform_pixels(k_cand, W, H, total)
+        uniform = sample_uniform_pixels(k_fallback, W, H, total)
         cand = jnp.where(mask_ok, cand, uniform)
     else:
         cand = sample_uniform_pixels(k_cand, W, H, total)

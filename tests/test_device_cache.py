@@ -45,6 +45,7 @@ def test_cache_budget_guard(dataset):
         DeviceCache.from_dataset(dataset, max_bytes=1000)
 
 
+@pytest.mark.slow
 def test_cached_train_step_runs_and_learns(dataset, cache):
     from pdc_tpu.models.dcn import build_backbone
     from pdc_tpu.training.train import create_train_state
@@ -78,6 +79,7 @@ def test_cached_train_step_runs_and_learns(dataset, cache):
     assert np.mean(losses[-4:]) < np.mean(losses[:4])
 
 
+@pytest.mark.slow
 def test_trainer_uses_cache(tmp_path, dataset):
     """End-to-end trainer run with the device cache enabled (default)."""
     import copy

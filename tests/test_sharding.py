@@ -55,6 +55,7 @@ def test_sharded_inference_runs():
     assert out.shape == (8, H, W, 3)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 

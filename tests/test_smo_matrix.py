@@ -54,6 +54,7 @@ def test_smo_matrix_sample(dataset):
     assert int(idx.masked_pool_b.max()) < H * W
 
 
+@pytest.mark.slow
 def test_mixed_matrix_batch_and_loss(dataset):
     from pdc_tpu.losses.matrix_loss import compose_loss_matrix
     from pdc_tpu.losses.pixelwise_contrastive import LossConfig
@@ -72,6 +73,7 @@ def test_mixed_matrix_batch_and_loss(dataset):
     assert (np.asarray(terms.loss)[np.asarray(idx.match_type) >= 0] > 0).all()
 
 
+@pytest.mark.slow
 def test_smo_matrix_train_step(dataset):
     from pdc_tpu.losses.pixelwise_contrastive import LossConfig
     from pdc_tpu.models.dcn import build_backbone

@@ -76,6 +76,7 @@ def test_mixed_batch_assembly(dataset):
     assert valid_rows[types >= 0].all()
 
 
+@pytest.mark.slow
 def test_smo_training_step(dataset):
     """One fused train step over a mixed batch incl. composited samples."""
     from pdc_tpu.losses.pixelwise_contrastive import LossConfig

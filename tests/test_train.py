@@ -83,6 +83,7 @@ def test_assembler(synthetic_dataset):
     assert (nma == ma[:, None]).all()
 
 
+@pytest.mark.slow
 def test_training_loss_decreases(tmp_path, synthetic_dataset):
     cfg = tiny_config(tmp_path, iters=30, batch=2)
     trainer = DenseCorrespondenceTraining(config=cfg, dataset=synthetic_dataset)
@@ -103,6 +104,7 @@ def test_training_loss_decreases(tmp_path, synthetic_dataset):
     assert os.path.exists(os.path.join(folder, "loss.yaml"))
 
 
+@pytest.mark.slow
 def test_trained_descriptors_beat_init(tmp_path, synthetic_dataset):
     """After a short training run, GT correspondences must be closer in
     descriptor space than random pixel pairs (the core learning signal)."""
@@ -138,6 +140,7 @@ def test_trained_descriptors_beat_init(tmp_path, synthetic_dataset):
     assert d_match.mean() < d_rand.mean()
 
 
+@pytest.mark.slow
 def test_resume_from_pretrained(tmp_path, synthetic_dataset):
     cfg = tiny_config(tmp_path, iters=5, batch=1)
     trainer = DenseCorrespondenceTraining(config=cfg, dataset=synthetic_dataset)
