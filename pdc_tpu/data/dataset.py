@@ -133,10 +133,15 @@ class SpartanDataset:
         self.mode = mode
         self._rng = pyrandom.Random(seed)
         self._np_rng = np.random.RandomState(seed)
-        self._scenes: Dict[str, SceneData] = {}
-        self._single_object_scene_names: Dict[str, List[str]] = {}  # object_id -> scenes
-        self._multi_object_scene_names: List[str] = []
+        # per-mode scene registries: mode -> {scenes, single, multi}; composite
+        # configs load each split lazily on first access (the reference
+        # reloads scene lists on set_train_mode/set_test_mode,
+        # dense_correspondence_dataset_masked.py:521 + spartan :154-222)
+        self._registries: Dict[str, dict] = {}
         self.config = config_expanded or config or {}
+        self._composite_config = None
+        self._data_dir = data_dir
+        self._config_dir = config_dir
 
         # training-config-injected parameters
         # (dense_correspondence_dataset_masked.py:521-589 defaults)
@@ -154,26 +159,46 @@ class SpartanDataset:
             for s in scenes:
                 self.add_scene(s)
         elif config is not None and "single_object_scenes_config_files" in config:
-            self._load_from_composite_config(config, data_dir, config_dir)
+            self._composite_config = config
 
     # -- construction ---------------------------------------------------------
 
-    def add_scene(self, scene: SceneData, multi_object: bool = False):
-        self._scenes[scene.name] = scene
-        if multi_object:
-            self._multi_object_scene_names.append(scene.name)
-        else:
-            oid = scene.object_id or scene.name
-            self._single_object_scene_names.setdefault(oid, []).append(scene.name)
+    def _registry(self, mode: str) -> dict:
+        """Scene registry for a split, lazily loaded for composite configs."""
+        if mode not in self._registries:
+            reg = {"scenes": {}, "single": {}, "multi": []}
+            self._registries[mode] = reg
+            if self._composite_config is not None:
+                self._load_from_composite_config(
+                    self._composite_config, self._data_dir, self._config_dir, mode
+                )
+        return self._registries[mode]
 
-    def _load_from_composite_config(self, config, data_dir, config_dir):
+    def add_scene(self, scene: SceneData, multi_object: bool = False,
+                  modes=("train", "test")):
+        """Register a scene. In-memory scenes default to both splits (the
+        reference's in-notebook datasets behave the same way when a scene
+        appears in both YAML lists); pass ``modes=("test",)`` etc. to build a
+        real split."""
+        if isinstance(modes, str):
+            modes = (modes,)
+        for mode in modes:
+            reg = self._registry(mode)
+            reg["scenes"][scene.name] = scene
+            if multi_object:
+                reg["multi"].append(scene.name)
+            else:
+                oid = scene.object_id or scene.name
+                reg["single"].setdefault(oid, []).append(scene.name)
+
+    def _load_from_composite_config(self, config, data_dir, config_dir, mode=None):
         """Parse the reference's composite dataset YAML
         (spartan_dataset_masked.py:154-222): per-object scene-list YAMLs with
         train/test splits, resolved under logs_root_path."""
         logs_root = config.get("logs_root_path", "logs_proto")
         data_dir = data_dir or os.environ.get("DC_DATA_DIR", ".")
         logs_dir = os.path.join(data_dir, logs_root)
-        split_key = self.mode  # 'train' or 'test'
+        split_key = mode or self.mode  # 'train' or 'test'
 
         def load_scene_list(scene_cfg_file, multi_object):
             path = scene_cfg_file
@@ -186,12 +211,20 @@ class SpartanDataset:
                 sd = SceneData.from_structure(
                     SceneStructure(processed), scene_name, object_id=object_id
                 )
-                self.add_scene(sd, multi_object=multi_object)
+                self.add_scene(sd, multi_object=multi_object, modes=(split_key,))
 
         for f in config.get("single_object_scenes_config_files", []):
             load_scene_list(f, multi_object=False)
         for f in config.get("multi_object_scenes_config_files", []):
             load_scene_list(f, multi_object=True)
+
+    # -- train/test mode (reference dense_correspondence_dataset_masked.py) ----
+
+    def set_train_mode(self):
+        self.mode = "train"
+
+    def set_test_mode(self):
+        self.mode = "test"
 
     # -- parameter injection ----------------------------------------------------
 
@@ -223,6 +256,18 @@ class SpartanDataset:
     # -- basic accessors ---------------------------------------------------------
 
     @property
+    def _scenes(self) -> Dict[str, SceneData]:
+        return self._registry(self.mode)["scenes"]
+
+    @property
+    def _single_object_scene_names(self) -> Dict[str, List[str]]:
+        return self._registry(self.mode)["single"]
+
+    @property
+    def _multi_object_scene_names(self) -> List[str]:
+        return self._registry(self.mode)["multi"]
+
+    @property
     def scenes(self):
         return self._scenes
 
@@ -230,12 +275,29 @@ class SpartanDataset:
     def num_scenes(self):
         return len(self._scenes)
 
+    def get_number_of_unique_single_objects(self):
+        """Reference spartan_dataset_masked.py — gates across-object eval."""
+        return len(self._single_object_scene_names)
+
+    def get_random_object_id_and_int(self):
+        ids = sorted(self._single_object_scene_names.keys())
+        i = self._rng.randrange(len(ids))
+        return ids[i], i
+
     @property
     def num_images_total(self):
         return sum(s.num_frames for s in self._scenes.values())
 
     def get_scene(self, name) -> SceneData:
-        return self._scenes[name]
+        """Scene lookup: active split first, then the other split (human
+        annotation YAMLs may name scenes from either split)."""
+        if name in self._scenes:
+            return self._scenes[name]
+        for mode in ("train", "test"):
+            reg = self._registry(mode)
+            if name in reg["scenes"]:
+                return reg["scenes"][name]
+        raise KeyError(name)
 
     def get_random_scene_name(self) -> str:
         return self._rng.choice(sorted(self._scenes.keys()))
@@ -428,7 +490,7 @@ class SpartanDataset:
     # -- misc parity helpers -------------------------------------------------------
 
     def get_rgbd_mask_pose(self, scene_name: str, img_idx: int):
-        s = self._scenes[scene_name]
+        s = self.get_scene(scene_name)
         return s.rgb[img_idx], s.depth[img_idx], s.mask[img_idx], s.poses[img_idx]
 
     def get_image_mean(self):
@@ -450,18 +512,50 @@ class SpartanDataset:
         return (x - mean) / std
 
     @staticmethod
-    def make_synthetic(num_scenes: int = 2, num_objects: int = 2, **scene_kwargs):
+    def make_synthetic(num_scenes: int = 2, num_objects: int = 2,
+                       num_test_scenes: int = 0, **scene_kwargs):
         """Build a fully in-memory synthetic dataset (tests, benchmarks).
 
         Scenes of the same object share a texture (so across-scene
         same-object attraction is learnable); different objects get distinct
-        textures (so different-object repulsion is learnable)."""
+        textures (so different-object repulsion is learnable).
+
+        With ``num_test_scenes`` > 0 the dataset gets a real train/test split
+        (test scenes use held-out camera-orbit seeds of the same objects);
+        otherwise both modes share the scenes. The generator arguments are
+        recorded in ``self.config`` so the trainer's ``dataset.yaml`` snapshot
+        can reconstruct the dataset (reference evaluation.py:2352-2354)."""
         from pdc_tpu.data.synthetic import SyntheticScene
 
-        scenes = []
+        ds = SpartanDataset()
+        ds.config = {"synthetic": dict(num_scenes=num_scenes,
+                                       num_objects=num_objects,
+                                       num_test_scenes=num_test_scenes,
+                                       **scene_kwargs)}
         for i in range(num_scenes):
             obj = i % max(num_objects, 1)
             sc = SyntheticScene(seed=i, texture_seed=obj, **scene_kwargs)
-            scenes.append(SceneData.from_synthetic(sc, name=f"scene_{i:03d}",
-                                                   object_id=f"object_{obj}"))
-        return SpartanDataset(scenes=scenes)
+            modes = ("train",) if num_test_scenes > 0 else ("train", "test")
+            ds.add_scene(SceneData.from_synthetic(sc, name=f"scene_{i:03d}",
+                                                  object_id=f"object_{obj}"),
+                         modes=modes)
+        for j in range(num_test_scenes):
+            obj = j % max(num_objects, 1)
+            sc = SyntheticScene(seed=1000 + j, texture_seed=obj, **scene_kwargs)
+            ds.add_scene(SceneData.from_synthetic(sc, name=f"test_scene_{j:03d}",
+                                                  object_id=f"object_{obj}"),
+                         modes=("test",))
+        return ds
+
+    @staticmethod
+    def from_dataset_config(config: dict, mode: str = "train",
+                            data_dir=None, config_dir=None):
+        """Reconstruct a dataset from a ``dataset.yaml`` snapshot saved in a
+        model folder (reference evaluation.py:139-141 + :2352-2354): either
+        the composite-scene-list format or the synthetic-generator record."""
+        if config and "synthetic" in config:
+            ds = SpartanDataset.make_synthetic(**config["synthetic"])
+            ds.mode = mode
+            return ds
+        return SpartanDataset(config=config, mode=mode,
+                              data_dir=data_dir, config_dir=config_dir)

@@ -177,11 +177,130 @@ def _match_statistics_device(depth_a, depth_b, mask_b, uv_a, uv_b,
 
 
 class DenseCorrespondenceEvaluation:
-    """Top-level evaluation orchestrator (reference evaluation.py:89)."""
+    """Top-level evaluation orchestrator (reference evaluation.py:89).
 
-    def __init__(self, config: Optional[dict] = None):
+    Instance methods drive the network registry
+    (``config/evaluation/evaluation.yaml`` format: a ``networks`` dict of
+    name -> {path_to_network_params}, plus ``output_dir`` and ``params``);
+    static methods are the per-network building blocks.
+    """
+
+    def __init__(self, config: Optional[dict] = None, dataset=None):
         # config: network registry, as in config/evaluation/evaluation.yaml
         self._config = config or {}
+        self._dataset = dataset
+
+    @property
+    def config(self):
+        return self._config
+
+    # -- network registry (reference evaluation.py:96-170) ---------------------
+
+    def network_names(self):
+        return sorted(self._config.get("networks", {}).keys())
+
+    def _network_model_folder(self, name: str) -> str:
+        if name not in self._config.get("networks", {}):
+            raise ValueError(f"Network {name} is not in config file")
+        entry = self._config["networks"][name]
+        if "model_folder" in entry:
+            return entry["model_folder"]
+        # reference format: path to a specific params file inside the folder
+        return os.path.dirname(entry["path_to_network_params"])
+
+    def load_network_from_config(self, name: str):
+        """Load a registered network (reference evaluation.py:104-123)."""
+        from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+
+        entry = self._config["networks"][name] if name in self._config.get(
+            "networks", {}) else None
+        if entry is None:
+            raise ValueError(f"Network {name} is not in config file")
+        model_folder = self._network_model_folder(name)
+        param_file = entry.get("path_to_network_params")
+        return DenseCorrespondenceNetwork.from_model_folder(
+            model_folder, model_param_file=param_file)
+
+    @staticmethod
+    def load_dataset_from_model_folder(model_folder: str, mode: str = "train"):
+        """Reconstruct the training dataset from the folder's dataset.yaml
+        snapshot (reference evaluation.py:125-141 load_dataset_for_network)."""
+        from pdc_tpu.data.dataset import SpartanDataset
+        from pdc_tpu.utils.yaml_io import load_yaml
+
+        dataset_config = load_yaml(os.path.join(model_folder, "dataset.yaml"))
+        return SpartanDataset.from_dataset_config(dataset_config, mode=mode)
+
+    def load_dataset_for_network(self, network_name: str):
+        return self.load_dataset_from_model_folder(
+            self._network_model_folder(network_name))
+
+    @property
+    def dataset(self):
+        return self._dataset
+
+    @dataset.setter
+    def dataset(self, value):
+        self._dataset = value
+
+    def get_output_dir(self):
+        return self._config["output_dir"]
+
+    def evaluate_single_network(self, network_name: str, mode: str = "train",
+                                save: bool = True):
+        """Registry-driven evaluation of one network in one dataset mode
+        (reference evaluation.py:206-241). Writes
+        ``<output_dir>/<network>/<mode>/data.csv`` when ``save``."""
+        dcn = self.load_network_from_config(network_name)
+        dataset = self._dataset or self.load_dataset_for_network(network_name)
+        if mode == "train":
+            dataset.set_train_mode()
+        elif mode == "test":
+            dataset.set_test_mode()
+        else:
+            raise ValueError(f"mode must be train or test, got {mode}")
+
+        params = self._config.get("params", {})
+        df = self.evaluate_network_quantitative(
+            dcn, dataset,
+            num_image_pairs=int(params.get("num_image_pairs", 100)),
+            num_matches_per_image_pair=int(
+                params.get("num_matches_per_image_pair", 100)),
+        )
+        if save:
+            output_dir = os.path.join(self.get_output_dir(), network_name, mode)
+            os.makedirs(output_dir, exist_ok=True)
+            df.to_csv(os.path.join(output_dir, "data.csv"))
+        return df
+
+    def compare_networks(self, network_names=None, mode: str = "test",
+                         save: bool = True):
+        """Multi-network CDF overlay: evaluate each registered network and
+        plot all curves in one figure via the plotter's ``previous_fig_axes``
+        mechanics (the multi-curve comparison the reference's evaluation
+        notebooks build by hand). Returns {name: stats} and writes
+        ``comparison_<mode>.png`` under output_dir."""
+        from pdc_tpu.evaluation.plotting import DenseCorrespondenceEvaluationPlotter
+
+        if network_names is None:
+            network_names = self.network_names()
+        fig_axes = None
+        all_stats = {}
+        for name in network_names:
+            df = self.evaluate_single_network(name, mode=mode, save=save)
+            stats, fig_axes = DenseCorrespondenceEvaluationPlotter.run_on_single_dataframe(
+                None, label=name, dataframe=df, save=False,
+                previous_fig_axes=fig_axes, return_fig_axes=True)
+            all_stats[name] = stats
+        if save and fig_axes is not None and fig_axes[0] is not None:
+            output_dir = self.get_output_dir()
+            os.makedirs(output_dir, exist_ok=True)
+            fig_axes[0].savefig(
+                os.path.join(output_dir, f"comparison_{mode}.png"))
+            from pdc_tpu.utils.yaml_io import save_yaml
+
+            save_yaml(all_stats, os.path.join(output_dir, f"comparison_{mode}.yaml"))
+        return all_stats
 
     # -- core: one image pair --------------------------------------------------
 
@@ -462,46 +581,111 @@ class DenseCorrespondenceEvaluation:
                                   num_image_pairs: int = 100,
                                   num_matches_per_image_pair: int = 100,
                                   output_dir: Optional[str] = None,
-                                  cross_scene_annotations: Optional[list] = None):
-        """Load a model folder, compute descriptor statistics + quantitative
-        CSVs + CDF plots/stats.yaml (reference evaluation.py:2307-2410)."""
+                                  cross_scene_annotations: Optional[list] = None,
+                                  compute_descriptor_statistics: bool = True,
+                                  qualitative: bool = True,
+                                  num_qualitative_pairs: int = 5,
+                                  iteration: Optional[int] = None):
+        """Full analysis pipeline on a model folder (reference
+        evaluation.py:2307-2410): descriptor statistics; train- AND test-mode
+        quantitative CSVs; overlaid CDF figure (train/test[/cross_scene]
+        curves) + per-mode stats.yaml; across-object analysis when the
+        dataset has >1 single object; qualitative panels + descriptor
+        colormaps. When ``dataset`` is None it is reconstructed from the
+        folder's dataset.yaml snapshot."""
         from pdc_tpu.evaluation.plotting import DenseCorrespondenceEvaluationPlotter
         from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
 
-        dcn = DenseCorrespondenceNetwork.from_model_folder(model_folder)
-        assert dataset is not None, "pass the evaluation dataset"
+        DCE = DenseCorrespondenceEvaluation
+        DCEP = DenseCorrespondenceEvaluationPlotter
+
+        dcn = DenseCorrespondenceNetwork.from_model_folder(
+            model_folder, iteration=iteration)
+        if dataset is None:
+            dataset = DCE.load_dataset_from_model_folder(model_folder)
 
         if output_dir is None:
             output_dir = os.path.join(model_folder, "analysis")
         os.makedirs(output_dir, exist_ok=True)
 
-        DenseCorrespondenceEvaluation.compute_descriptor_statistics_on_dataset(
-            dcn, dataset, num_images=min(100, dataset.num_images_total),
-            save_to_file=True,
-            filename=os.path.join(model_folder, "descriptor_statistics.yaml"),
-        )
-
-        df = DenseCorrespondenceEvaluation.evaluate_network_quantitative(
-            dcn, dataset, num_image_pairs=num_image_pairs,
-            num_matches_per_image_pair=num_matches_per_image_pair,
-        )
-        csv_path = os.path.join(output_dir, "data.csv")
-        df.to_csv(csv_path)
-
-        results = {"data_csv": csv_path}
-        if len(df):
-            stats = DenseCorrespondenceEvaluationPlotter.run_on_single_dataframe(
-                csv_path, output_dir=output_dir, save=True
+        if compute_descriptor_statistics:
+            DCE.compute_descriptor_statistics_on_dataset(
+                dcn, dataset, num_images=min(100, dataset.num_images_total),
+                save_to_file=True,
+                filename=os.path.join(model_folder, "descriptor_statistics.yaml"),
             )
-            results.update(stats)
+
+        results = {}
+        fig_axes = None
+        original_mode = dataset.mode
+        for mode in ("train", "test"):
+            if mode == "train":
+                dataset.set_train_mode()
+            else:
+                dataset.set_test_mode()
+            mode_dir = os.path.join(output_dir, mode)
+            os.makedirs(mode_dir, exist_ok=True)
+            df = DCE.evaluate_network_quantitative(
+                dcn, dataset, num_image_pairs=num_image_pairs,
+                num_matches_per_image_pair=num_matches_per_image_pair,
+            )
+            csv_path = os.path.join(mode_dir, "data.csv")
+            df.to_csv(csv_path)
+            results[f"{mode}_csv"] = csv_path
+            if len(df):
+                stats, fig_axes = DCEP.run_on_single_dataframe(
+                    csv_path, label=mode, output_dir=mode_dir, save=True,
+                    previous_fig_axes=fig_axes, return_fig_axes=True,
+                )
+                results[mode] = stats
+        dataset.mode = original_mode
 
         if cross_scene_annotations:
-            df_cross = DenseCorrespondenceEvaluation.evaluate_network_cross_scene(
+            df_cross = DCE.evaluate_network_cross_scene(
                 dcn, dataset, cross_scene_annotations
             )
-            cross_csv = os.path.join(output_dir, "cross_scene_data.csv")
+            cross_dir = os.path.join(output_dir, "cross_scene")
+            os.makedirs(cross_dir, exist_ok=True)
+            cross_csv = os.path.join(cross_dir, "data.csv")
             df_cross.to_csv(cross_csv)
             results["cross_scene_csv"] = cross_csv
+            if len(df_cross):
+                stats, fig_axes = DCEP.run_on_single_dataframe(
+                    cross_csv, label="cross_scene", output_dir=cross_dir,
+                    save=True, previous_fig_axes=fig_axes, return_fig_axes=True,
+                )
+                results["cross_scene"] = stats
+
+        # the combined overlay figure (train/test/cross_scene in one plot,
+        # reference evaluation.py:2389-2396)
+        if fig_axes is not None and fig_axes[0] is not None:
+            quant_path = os.path.join(output_dir, "quant_plots.png")
+            fig_axes[0].savefig(quant_path)
+            results["quant_plots"] = quant_path
+            import matplotlib.pyplot as plt
+
+            plt.close(fig_axes[0])
+
+        # across-object analysis (reference :2398-2407)
+        if dataset.get_number_of_unique_single_objects() > 1:
+            ao_dir = os.path.join(output_dir, "across_object")
+            os.makedirs(ao_dir, exist_ok=True)
+            df_ao = DCE.evaluate_network_across_objects(dcn, dataset)
+            ao_csv = os.path.join(ao_dir, "data.csv")
+            df_ao.to_csv(ao_csv)
+            results["across_object_csv"] = ao_csv
+            if len(df_ao):
+                results["across_object"] = (
+                    DCEP.run_on_single_dataframe_across_objects(
+                        ao_csv, output_dir=ao_dir, save=True))
+
+        if qualitative:
+            from pdc_tpu.evaluation.qualitative import evaluate_network_qualitative
+
+            results["qualitative"] = evaluate_network_qualitative(
+                dcn, dataset, num_image_pairs=num_qualitative_pairs,
+                output_dir=os.path.join(output_dir, "qualitative"),
+            )
 
         return results
 

@@ -107,11 +107,14 @@ class DenseCorrespondenceEvaluationPlotter:
     @staticmethod
     def run_on_single_dataframe(path_to_df_csv, label=None, output_dir=None,
                                 save: bool = True, dataframe=None,
-                                previous_fig_axes=None):
+                                previous_fig_axes=None,
+                                return_fig_axes: bool = False):
         """Compute the 5-CDF figure + stats.yaml for one evaluation CSV
         (reference run_on_single_dataframe, evaluation.py:2866-2976).
         Returns the summary stats dict (always), writing quant_plots.png and
-        stats.yaml when ``save``."""
+        stats.yaml when ``save``. With ``return_fig_axes`` returns
+        ``(stats, (fig, axes))`` so callers can overlay further curves via
+        ``previous_fig_axes`` (multi-network comparison)."""
         import pandas as pd
 
         DCEP = DenseCorrespondenceEvaluationPlotter
@@ -132,7 +135,7 @@ class DenseCorrespondenceEvaluationPlotter:
         for k in (5, 10, 25, 50, 100):
             stats[f"pck_at_{k}px"] = cdf_at_threshold(px, k)
 
-        fig = None
+        fig = axes = None
         try:
             import matplotlib
 
@@ -150,7 +153,8 @@ class DenseCorrespondenceEvaluationPlotter:
                 fig, axes = previous_fig_axes
             for i, (col, col_masked, xlabel, scale) in enumerate(DCEP.PLOTS):
                 specs = [(col, axes[i][0])]
-                if use_masked and col_masked is not None and col_masked in df:
+                if (col_masked is not None and col_masked in df
+                        and axes.shape[1] > 1):
                     specs.append((col_masked, axes[i][1]))
                 for c, ax in specs:
                     x, cum = empirical_cdf(df[c].dropna().to_numpy())
@@ -166,6 +170,8 @@ class DenseCorrespondenceEvaluationPlotter:
 
         if save and output_dir is not None:
             save_yaml(stats, os.path.join(output_dir, "stats.yaml"))
+        if return_fig_axes:
+            return stats, (fig, axes)
         return stats
 
     @staticmethod
