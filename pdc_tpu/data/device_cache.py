@@ -150,6 +150,119 @@ class DeviceCache:
         return out
 
 
+def partition_scenes(dataset, num_shards: int):
+    """Greedy balanced partition of whole scenes across shards (largest
+    scene first to the least-loaded shard). Whole scenes per shard keep
+    within-scene pair sampling local to a chip."""
+    order = sorted(dataset.scenes, key=lambda n: -dataset.scenes[n].num_frames)
+    shards = [[] for _ in range(num_shards)]
+    loads = [0] * num_shards
+    for name in order:
+        i = int(np.argmin(loads))
+        shards[i].append(name)
+        loads[i] += dataset.scenes[name].num_frames
+    for i, names in enumerate(shards):
+        if not names:
+            raise ValueError(
+                f"shard {i} received no scenes — dataset has "
+                f"{len(dataset.scenes)} scenes for {num_shards} shards")
+    return shards
+
+
+@dataclasses.dataclass
+class ShardedDeviceCache:
+    """Frame stacks sharded over a mesh's data axis: chip c holds ONLY rows
+    [c*frames_per_shard, (c+1)*frames_per_shard) — the per-chip HBM cost is
+    total_bytes / n_chips, so pod-scale training fits datasets far larger
+    than one chip's HBM (the reference's full dataset is ~100 GB, SURVEY §6).
+
+    Each chip samples training pairs from its own scene subset (per-host
+    data sharding); gradients still mix globally via pmean. Layout per chip,
+    inside shard_map: stacks [frames_per_shard, ...], scene tables [1, Smax]
+    (offsets/lengths LOCAL to the chip's block, zero-padded), num_scenes
+    [1, 1].
+    """
+
+    rgb: jnp.ndarray              # [n*Fmax, H, W, 3] uint8, P(data) on axis 0
+    depth: jnp.ndarray            # [n*Fmax, H, W] uint16
+    mask: jnp.ndarray             # [n*Fmax, H, W] uint8
+    poses: jnp.ndarray            # [n*Fmax, 4, 4] float32 (same sharding)
+    Ks: jnp.ndarray               # [n*Fmax, 3, 3] float32
+    scene_offsets: jnp.ndarray    # [n, Smax] int32 (local offsets)
+    scene_lengths: jnp.ndarray    # [n, Smax] int32 (0 = padding)
+    num_scenes: jnp.ndarray       # [n, 1] int32
+    frames_per_shard: int
+    assignment: dict              # scene name -> shard index
+    mesh: object
+    data_axis: str
+    dataset: object
+
+    @staticmethod
+    def from_dataset(dataset, mesh, data_axis: str = "data",
+                     max_bytes_per_device: int = 8 << 30) -> "ShardedDeviceCache":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n = mesh.shape[data_axis]
+        shards = partition_scenes(dataset, n)
+        assignment = {name: i for i, names in enumerate(shards) for name in names}
+
+        fmax = max(sum(dataset.scenes[nm].num_frames for nm in names)
+                   for names in shards)
+        smax = max(len(names) for names in shards)
+
+        sample = next(iter(dataset.scenes.values()))
+        H, W = sample.rgb.shape[1:3]
+        rgb = np.zeros((n * fmax, H, W, 3), np.uint8)
+        depth = np.zeros((n * fmax, H, W), sample.depth.dtype)
+        mask = np.zeros((n * fmax, H, W), np.uint8)
+        poses = np.tile(np.eye(4, dtype=np.float32), (n * fmax, 1, 1))
+        Ks = np.tile(np.eye(3, dtype=np.float32), (n * fmax, 1, 1))
+        offsets = np.zeros((n, smax), np.int32)
+        lengths = np.zeros((n, smax), np.int32)
+        nums = np.zeros((n, 1), np.int32)
+
+        for c, names in enumerate(shards):
+            off = 0
+            per_device = 0
+            for j, name in enumerate(sorted(names)):
+                s = dataset.scenes[name]
+                f = s.num_frames
+                row = c * fmax + off
+                rgb[row:row + f] = s.rgb
+                depth[row:row + f] = s.depth
+                mask[row:row + f] = s.mask
+                poses[row:row + f] = s.poses.astype(np.float32)
+                Ks[row:row + f] = np.broadcast_to(
+                    s.K.astype(np.float32), (f, 3, 3))
+                offsets[c, j] = off
+                lengths[c, j] = f
+                off += f
+                per_device += s.rgb.nbytes + s.depth.nbytes + s.mask.nbytes
+            nums[c, 0] = len(names)
+            if per_device > max_bytes_per_device:
+                raise MemoryError(
+                    f"shard {c} exceeds per-device budget "
+                    f"({per_device} > {max_bytes_per_device} B)")
+
+        frames_sh = NamedSharding(mesh, P(data_axis))
+        tables_sh = NamedSharding(mesh, P(data_axis))
+        put_f = lambda x: jax.device_put(x, frames_sh)  # noqa: E731
+        put_t = lambda x: jax.device_put(x, tables_sh)  # noqa: E731
+        return ShardedDeviceCache(
+            rgb=put_f(rgb), depth=put_f(depth), mask=put_f(mask),
+            poses=put_f(poses), Ks=put_f(Ks),
+            scene_offsets=put_t(offsets), scene_lengths=put_t(lengths),
+            num_scenes=put_t(nums), frames_per_shard=fmax,
+            assignment=assignment, mesh=mesh, data_axis=data_axis,
+            dataset=dataset,
+        )
+
+    @property
+    def nbytes_per_device(self):
+        return (self.rgb.nbytes + self.depth.nbytes + self.mask.nbytes) // max(
+            self.mesh.shape[self.data_axis], 1)
+
+
 def make_cached_train_step(model, tx, loss_cfg, assembler_cfg, image_width: int,
                            cache: DeviceCache):
     """Train step taking (state, index_batch, key) with the frame gather

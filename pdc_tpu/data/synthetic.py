@@ -173,6 +173,42 @@ class SyntheticScene:
 
     # -- disk layout parity --------------------------------------------------
 
+    def fusion_points(self, plane_step: float = 0.02, object_step: float = 0.005,
+                      plane_extent: float = 0.8, object_height: float = 0.02):
+        """World-frame scene geometry as points — the synthetic stand-in for
+        the TSDF fusion mesh. The ground plane sits at z=0; the object disc
+        is written as a thin puck at ``object_height`` so crop-box authoring
+        (points-above-table clustering) has real 3D structure to find.
+
+        :return: [N, 3] float32
+        """
+        xs = np.arange(-plane_extent, plane_extent, plane_step)
+        gx, gy = np.meshgrid(xs, xs)
+        plane = np.stack([gx.ravel(), gy.ravel(), np.zeros(gx.size)], axis=1)
+        r2 = plane[:, 0] ** 2 + plane[:, 1] ** 2
+        plane = plane[r2 > self.object_radius**2]
+
+        xo = np.arange(-self.object_radius, self.object_radius, object_step)
+        ox, oy = np.meshgrid(xo, xo)
+        disc = np.stack(
+            [ox.ravel(), oy.ravel(), np.full(ox.size, object_height)], axis=1)
+        disc = disc[disc[:, 0] ** 2 + disc[:, 1] ** 2 <= self.object_radius**2]
+        return np.concatenate([plane, disc]).astype(np.float32)
+
+    def write_fusion_mesh(self, processed_dir):
+        """Write fusion_mesh.ply (ASCII, vertices only) into a processed
+        scene folder so the change-detection pipeline has geometry."""
+        pts = self.fusion_points()
+        path = os.path.join(processed_dir, "fusion_mesh.ply")
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n")
+            f.write(f"element vertex {len(pts)}\n")
+            f.write("property float x\nproperty float y\nproperty float z\n")
+            f.write("end_header\n")
+            for x, y, z in pts:
+                f.write(f"{x:.5f} {y:.5f} {z:.5f}\n")
+        return path
+
     def write_scene(self, scene_dir):
         """Write this scene in the pdc processed-log layout."""
         from PIL import Image
@@ -203,6 +239,7 @@ class SyntheticScene:
                 "depth_image_filename": "%06d_depth.png" % i,
             }
         save_yaml(pose_data, os.path.join(img_dir, "pose_data.yaml"))
+        self.write_fusion_mesh(processed)
         save_yaml(
             {
                 "camera_matrix": {

@@ -75,8 +75,12 @@ def pooled_non_match_loss(
         the matrix sum and matrix count, which gives the same normalized
         value in expectation.
     """
-    da = jnp.take(image_a_pred, jnp.where(matches_valid, matches_a, 0), axis=0)
-    db = jnp.take(image_b_pred, jnp.where(pool_valid, pool_b, 0), axis=0)
+    # gathered rows upcast to fp32: loss numerics stay independent of the
+    # network compute dtype (bf16 descriptors under compute_dtype=bfloat16)
+    da = jnp.take(image_a_pred, jnp.where(matches_valid, matches_a, 0),
+                  axis=0).astype(jnp.float32)
+    db = jnp.take(image_b_pred, jnp.where(pool_valid, pool_b, 0),
+                  axis=0).astype(jnp.float32)
 
     # [Nm, P] squared distances on the MXU
     cross = jnp.dot(da, db.T, preferred_element_type=jnp.float32)

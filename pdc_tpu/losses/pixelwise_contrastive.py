@@ -44,9 +44,11 @@ class LossConfig:
 
 def _gather(image_pred, indices, valid):
     """Safe descriptor gather: invalid rows read index 0 but are masked out
-    downstream."""
+    downstream. Gathered rows are upcast to float32 so loss numerics are
+    independent of the network's compute dtype (the model returns bf16 under
+    compute_dtype=bfloat16; the gather output is tiny, so this is free)."""
     idx = jnp.where(valid, indices, 0).astype(jnp.int32)
-    return jnp.take(image_pred, idx, axis=0)
+    return jnp.take(image_pred, idx, axis=0).astype(jnp.float32)
 
 
 def match_loss(image_a_pred, image_b_pred, matches_a, matches_b, valid):

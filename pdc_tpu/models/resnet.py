@@ -120,8 +120,11 @@ class ResNetFCN(nn.Module):
         x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(x)
 
         # Bilinear upsample back to input resolution (align_corners=False
-        # semantics via jax.image.resize 'linear').
-        x = x.astype(jnp.float32)
+        # semantics via jax.image.resize 'linear'), in the compute dtype.
+        # The [B, H, W, D] output write is the dominant HBM traffic of the
+        # inference path; upcasting before (or fused after) the resize doubles
+        # it for no accuracy gain, so the descriptor image is returned in the
+        # compute dtype and consumers upcast where they accumulate.
         return _resize_bilinear(x, in_h, in_w)
 
 

@@ -69,6 +69,98 @@ class CropBox:
         return p[keep]
 
 
+@dataclasses.dataclass
+class OrientedCropBox:
+    """Posed crop box matching the station-config format
+    (``config/stations/*/change_detection.yaml``: a center transform
+    (quaternion + translation) plus x/y/z dimensions — what the reference's
+    ``ReconstructionProcessing.spawnCropBox`` spawns,
+    mesh_processing.py:37-52)."""
+
+    transform: np.ndarray  # [4, 4] box-to-world
+    dimensions: tuple      # (x, y, z) full extents
+
+    def filter(self, points):
+        from pdc_tpu.geom.transforms import invert_se3, transform_points
+
+        p = np.asarray(points, np.float64)
+        local = np.asarray(transform_points(
+            invert_se3(np.asarray(self.transform, np.float64)), p))
+        half = np.asarray(self.dimensions, np.float64) / 2.0
+        keep = np.all(np.abs(local) <= half, axis=1)
+        return p[keep]
+
+    @staticmethod
+    def from_station_config(config: dict) -> "OrientedCropBox":
+        """Parse the reference's station YAML ``crop_box`` block."""
+        from pdc_tpu.geom.transforms import se3_from_quat_trans
+
+        cb = config["crop_box"]
+        q = cb["transform"]["quaternion"]
+        t = cb["transform"]["translation"]
+        T = se3_from_quat_trans(
+            [q["w"], q["x"], q["y"], q["z"]], [t["x"], t["y"], t["z"]])
+        dims = (cb["dimensions"]["x"], cb["dimensions"]["y"],
+                cb["dimensions"]["z"])
+        return OrientedCropBox(transform=np.asarray(T), dimensions=dims)
+
+    def to_station_config(self) -> dict:
+        """Emit the station-YAML crop_box block (the authoring counterpart of
+        the reference's ``getCropBoxFrame`` printout, mesh_processing.py:54-57)."""
+        from pdc_tpu.geom.transforms import quaternion_from_matrix
+
+        w, x, y, z = np.asarray(
+            quaternion_from_matrix(self.transform[:3, :3]), np.float64)
+        tx, ty, tz = np.asarray(self.transform[:3, 3], np.float64)
+        return {
+            "crop_box": {
+                "transform": {
+                    "quaternion": {"w": float(w), "x": float(x),
+                                   "y": float(y), "z": float(z)},
+                    "translation": {"x": float(tx), "y": float(ty),
+                                    "z": float(tz)},
+                },
+                "dimensions": {"x": float(self.dimensions[0]),
+                               "y": float(self.dimensions[1]),
+                               "z": float(self.dimensions[2])},
+            }
+        }
+
+
+def fit_crop_box(points, table_quantile: float = 0.1, above_table: float = 0.01,
+                 bound_quantile: float = 0.01, margin: float = 0.05):
+    """Author a crop box from scene geometry — the headless replacement for
+    the reference's drag-a-cube-in-director flow (mesh_processing.py:32-108):
+    estimate the dominant horizontal surface, take the point cluster above
+    it, and fit an axis-aligned box with a margin.
+
+    :param points: [N, 3] world-frame scene points (e.g. fusion-mesh vertices)
+    :param table_quantile: z-quantile treated as the table surface (the
+        table is the lowest large surface of a tabletop scan, so a low
+        quantile lands on it even when the object has more points)
+    :param above_table: metres above the surface a point must be to count as
+        object
+    :param bound_quantile: robust min/max quantile for the box bounds
+    :return: OrientedCropBox (identity rotation), in the station-config
+        convention
+    """
+    p = np.asarray(points, np.float64)
+    z_table = np.quantile(p[:, 2], table_quantile)
+    obj = p[p[:, 2] > z_table + above_table]
+    if obj.shape[0] < 10:
+        raise ValueError(
+            "no points above the estimated table surface; pass a crop box "
+            f"explicitly (z_table={z_table:.3f})")
+    lo = np.quantile(obj, bound_quantile, axis=0) - margin
+    hi = np.quantile(obj, 1.0 - bound_quantile, axis=0) + margin
+    lo[2] = z_table + above_table / 2.0  # box floor sits on the table
+    center = (lo + hi) / 2.0
+    dims = hi - lo
+    T = np.eye(4)
+    T[:3, 3] = center
+    return OrientedCropBox(transform=T, dimensions=tuple(dims))
+
+
 class ChangeDetection:
     """Per-scene mask/depth generation pipeline (reference ChangeDetection)."""
 

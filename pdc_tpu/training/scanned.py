@@ -139,6 +139,45 @@ def device_sample_pairs_mixed(key, tables, poses, batch_size: int,
     return jax.vmap(one)(keys)
 
 
+def _pose_ok(pa, pc):
+    """Pose-difference acceptance over candidates (reference
+    dense_correspondence_dataset_masked.py:260-287 thresholds)."""
+    dist = jnp.linalg.norm(pc[:, :3, 3] - pa[:3, 3], axis=1)
+    rel = jnp.einsum("ij,kil->kjl", pa[:3, :3], pc[:, :3, :3])
+    cos = jnp.clip((jnp.trace(rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
+    ang = jnp.degrees(jnp.arccos(cos))
+    return (dist > POSE_DIST_THRESHOLD) | (ang > POSE_ANGLE_THRESHOLD)
+
+
+def device_sample_pairs_bounded(key, scene_offsets, scene_lengths, num_scenes,
+                                poses, batch_size: int):
+    """Within-scene pair sampling with a TRACED scene count — the per-chip
+    sampler for the sharded cache, where each chip sees only its own
+    zero-padded scene table.
+
+    :param scene_offsets, scene_lengths: [Smax] int32 (entries >= num_scenes
+        are padding)
+    :param num_scenes: scalar int32, number of real scenes on this chip
+    :return: (frame_a [B], frame_b [B], match_type [B]) int32 (local frame
+        indices into this chip's stack block)
+    """
+    def one(k):
+        k1, k2, k3 = jax.random.split(k, 3)
+        s = jax.random.randint(k1, (), 0, jnp.maximum(num_scenes, 1))
+        base = scene_offsets[s]
+        n = jnp.maximum(scene_lengths[s], 1)
+        fa = base + jax.random.randint(k2, (), 0, n)
+        cand = base + jax.random.randint(k3, (NUM_POSE_CANDIDATES,), 0, n)
+        ok = _pose_ok(poses[fa], poses[cand])
+        any_ok = ok.any()
+        fb = jnp.where(any_ok, cand[jnp.argmax(ok)], fa)
+        mt = jnp.where(any_ok, 0, -1).astype(jnp.int32)
+        return fa.astype(jnp.int32), fb.astype(jnp.int32), mt
+
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(one)(keys)
+
+
 def device_sample_pairs(key, scene_offsets, scene_lengths, poses, batch_size: int):
     """Sample ``batch_size`` within-scene frame pairs on device.
 
@@ -174,6 +213,92 @@ def device_sample_pairs(key, scene_offsets, scene_lengths, poses, batch_size: in
 
     keys = jax.random.split(key, batch_size)
     return jax.vmap(one)(keys)
+
+
+def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
+                                  assembler_cfg: AssemblerConfig,
+                                  image_width: int, cache,
+                                  batch_size: int, steps_per_dispatch: int):
+    """Scanned DP training over a :class:`ShardedDeviceCache`.
+
+    Unlike :func:`make_scanned_train_step`'s replicated DP path, the frame
+    stacks are sharded over the mesh's data axis — per-chip HBM holds
+    1/n_chips of the dataset, and every gather is chip-local: chip c samples
+    within-scene pairs from ITS scene subset (per-host data sharding), runs
+    ``batch_size`` pairs per step, and gradients mix via pmean over ICI.
+    K global steps per host dispatch, global batch = batch_size * n_chips.
+
+    Reference anchor: SURVEY §2c host-pipeline row (per-host sharded scene
+    lists); the reference itself has no distributed path at all.
+    """
+    from jax import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    assemble_batch, compose = pick_assembly(assembler_cfg)
+    loss_fn = build_loss_fn(model, loss_cfg, image_width, compose)
+    mesh, data_axis = cache.mesh, cache.data_axis
+
+    def one_step(state, key, rgb, depth, mask, poses, Ks,
+                 offsets, lengths, num):
+        key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
+        k_sample, k_assemble = jax.random.split(key)
+        fa, fb, mt = device_sample_pairs_bounded(
+            k_sample, offsets, lengths, num, poses, batch_size)
+        batch = {
+            "match_type": mt,
+            "rgb_a": jnp.take(rgb, fa, axis=0),
+            "depth_a": jnp.take(depth, fa, axis=0),
+            "mask_a": jnp.take(mask, fa, axis=0),
+            "pose_a": jnp.take(poses, fa, axis=0),
+            "rgb_b": jnp.take(rgb, fb, axis=0),
+            "depth_b": jnp.take(depth, fb, axis=0),
+            "mask_b": jnp.take(mask, fb, axis=0),
+            "pose_b": jnp.take(poses, fb, axis=0),
+            "K": jnp.take(Ks, fa, axis=0),
+        }
+        img_a, img_b, indices = assemble_batch(k_assemble, batch, assembler_cfg)
+        (_, (new_stats, metrics)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, state.batch_stats, img_a, img_b, indices)
+        grads = jax.lax.pmean(grads, data_axis)
+        new_stats = jax.lax.pmean(new_stats, data_axis)
+        metrics = jax.lax.pmean(metrics, data_axis)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), metrics
+
+    def multi_step(state, rgb, depth, mask, poses, Ks,
+                   offsets, lengths, nums, key):
+        # local views inside shard_map: stacks [Fmax, ...]; tables [1, Smax]
+        off, ln, num = offsets[0], lengths[0], nums[0, 0]
+        keys = jax.random.split(key, steps_per_dispatch)
+        return jax.lax.scan(
+            lambda c, k: one_step(c, k, rgb, depth, mask, poses, Ks,
+                                  off, ln, num),
+            state, keys,
+        )
+
+    repl = P()
+    sh = P(data_axis)
+    specs = dict(
+        in_specs=(repl, sh, sh, sh, sh, sh, sh, sh, sh, repl),
+        out_specs=(repl, repl),
+    )
+    try:
+        mapped = shard_map(multi_step, mesh=mesh, check_vma=False, **specs)
+    except TypeError:  # older jax kwarg name
+        mapped = shard_map(multi_step, mesh=mesh, check_rep=False, **specs)
+    jitted = jax.jit(mapped, donate_argnums=(0,))
+    repl_sharding = NamedSharding(mesh, P())
+
+    def run(state, key):
+        key = jax.device_put(key, repl_sharding)
+        return jitted(state, cache.rgb, cache.depth, cache.mask, cache.poses,
+                      cache.Ks, cache.scene_offsets, cache.scene_lengths,
+                      cache.num_scenes, key)
+
+    return run
 
 
 def make_scanned_train_step(model, tx, loss_cfg: LossConfig,

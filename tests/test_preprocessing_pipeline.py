@@ -1,0 +1,119 @@
+"""All-logs preprocessing driver + crop-box authoring (reference
+run_change_detection_pipeline.py:27-92, mesh_processing.py:32-108,
+config/stations/*/change_detection.yaml)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pdc_tpu.data.synthetic import SyntheticScene
+from pdc_tpu.pipeline.change_detection import (
+    OrientedCropBox,
+    fit_crop_box,
+)
+from pdc_tpu.pipeline.preprocessing import (
+    already_ran_change_detection,
+    discover_processed_scenes,
+    run_change_detection_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def logs_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("logs_proto")
+    for i, seed in enumerate((0, 1)):
+        sc = SyntheticScene(width=64, height=48, num_frames=3, seed=seed)
+        sc.write_scene(str(root / f"scene_{i}"))
+    return str(root)
+
+
+def test_discover_and_skip(logs_dir):
+    scenes = discover_processed_scenes(logs_dir)
+    assert len(scenes) == 2
+    # write_scene emits masks + depth, so scenes read as already done
+    assert all(already_ran_change_detection(s) for s in scenes)
+    res = run_change_detection_pipeline(logs_dir)
+    assert all(v == 0 for v in res.values())
+
+
+def test_discover_rejects_unfused_scene(tmp_path):
+    os.makedirs(tmp_path / "raw_scene")
+    with pytest.raises(ValueError, match="run fusion"):
+        discover_processed_scenes(str(tmp_path))
+
+
+def test_fit_crop_box_finds_object():
+    sc = SyntheticScene(width=64, height=48, num_frames=2)
+    box = fit_crop_box(sc.fusion_points())
+    # the object disc has radius 0.25 centered at the origin
+    cx, cy = box.transform[0, 3], box.transform[1, 3]
+    assert abs(cx) < 0.05 and abs(cy) < 0.05
+    assert 0.4 < box.dimensions[0] < 0.8
+    assert 0.4 < box.dimensions[1] < 0.8
+    # the filtered points are the object puck, not the table
+    kept = box.filter(sc.fusion_points())
+    assert kept.shape[0] > 100
+    assert (kept[:, 2] > 0.005).all()
+
+
+def test_station_config_roundtrip():
+    sc = SyntheticScene(width=64, height=48, num_frames=2)
+    box = fit_crop_box(sc.fusion_points())
+    cfg = box.to_station_config()
+    assert set(cfg["crop_box"]) == {"transform", "dimensions"}
+    box2 = OrientedCropBox.from_station_config(cfg)
+    np.testing.assert_allclose(box2.transform, box.transform, atol=1e-9)
+    assert box2.dimensions == pytest.approx(box.dimensions)
+
+
+def test_reference_station_config_parses():
+    """The shipped station YAML format (RLG_iiwa_1/change_detection.yaml)
+    loads unchanged."""
+    cfg = {
+        "crop_box": {
+            "transform": {
+                "quaternion": {"w": 1, "x": 0, "y": 0, "z": 0},
+                "translation": {"x": 0.66757267, "y": 0, "z": 0.18953078},
+            },
+            "dimensions": {"x": 0.5, "y": 0.7, "z": 0.4},
+        },
+        "point_size": 3,
+    }
+    box = OrientedCropBox.from_station_config(cfg)
+    assert box.transform[0, 3] == pytest.approx(0.66757267)
+    # a point inside the box survives filtering, one outside does not
+    inside = np.array([[0.66, 0.0, 0.19]])
+    outside = np.array([[2.0, 0.0, 0.19]])
+    assert box.filter(inside).shape[0] == 1
+    assert box.filter(outside).shape[0] == 0
+
+
+@pytest.mark.slow
+def test_pipeline_regenerates_masks(logs_dir):
+    from PIL import Image
+
+    res = run_change_detection_pipeline(logs_dir, redo=True)
+    assert all(v == 3 for v in res.values())
+    scene = discover_processed_scenes(logs_dir)[0]
+    # fitted crop box was persisted in station format
+    assert os.path.exists(os.path.join(scene, "crop_box.yaml"))
+    regen = np.array(Image.open(
+        os.path.join(scene, "image_masks", "000000_mask.png")))
+    sc = SyntheticScene(width=64, height=48, num_frames=3, seed=0)
+    _, _, true_mask, _ = sc.render(0)
+    inter = ((regen > 0) & (true_mask > 0)).sum()
+    union = ((regen > 0) | (true_mask > 0)).sum()
+    assert inter / union > 0.5, f"regenerated mask IoU too low: {inter/union}"
+    # depth re-render exists for every frame
+    for i in range(3):
+        assert os.path.exists(os.path.join(
+            scene, "rendered_images", "%06d_depth.png" % i))
+
+
+def test_cli_main(logs_dir, capsys):
+    from pdc_tpu.pipeline.preprocessing import main
+
+    main(["--data_dir", logs_dir])
+    out = capsys.readouterr().out
+    assert "already done" in out
