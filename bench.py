@@ -8,7 +8,10 @@ Timing notes:
   * the forward is fused with a scalar reduction and synchronized by fetching
     that scalar — ``block_until_ready`` alone does not reliably block through
     the axon TPU tunnel and reports physically-impossible numbers
-  * bfloat16 compute, batch 64 (throughput-optimal on a single chip)
+  * bfloat16 compute, batch 128 (throughput-optimal on a single chip; the
+    descriptor image stays bf16 through the x8 resize)
+  * MFU context printed to stderr: forward = 200.2 GFLOPs/image at 640x480
+    (XLA cost analysis), v5e peak ~197 bf16 TFLOPS
 
 ``vs_baseline`` divides by the reference's implied forward throughput on its
 own hardware: 3500 train iterations (2 forwards + 1 backward) in ~12-15 min
@@ -41,7 +44,7 @@ def main():
         dtype=dtype,
     )
 
-    B = 64 if on_tpu else 1
+    B = 128 if on_tpu else 1
     x = jnp.zeros((B, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
@@ -62,6 +65,11 @@ def main():
         times.append(time.perf_counter() - t0)
 
     images_per_sec = B / min(times)
+    if on_tpu:
+        import sys
+
+        mfu = images_per_sec * 200.2e9 / 197e12  # fwd GFLOPs / v5e bf16 peak
+        print(f"MFU (v5e, 200.2 GFLOPs/img): {mfu:.1%}", file=sys.stderr)
     print(json.dumps({
         "metric": "descriptor_inference_images_per_sec_per_chip_640x480",
         "value": round(images_per_sec, 2),
