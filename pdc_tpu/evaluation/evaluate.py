@@ -692,6 +692,86 @@ class DenseCorrespondenceEvaluation:
     # -- SIFT baseline (host-side, optional cv2) ------------------------------------------
 
     @staticmethod
+    def single_image_pair_sift_analysis(dataset, scene_name: str,
+                                        img_a_idx: int, img_b_idx: int,
+                                        cross_match_threshold: float = 0.75,
+                                        output_path: Optional[str] = None,
+                                        num_visualize: int = 10):
+        """SIFT keypoints + ratio-test matches for one image pair, with 3D
+        match-error rows and an optional match-panel PNG (reference
+        evaluation.py:1581-1687's qualitative SIFT figures, drawn with
+        matplotlib instead of cv2.drawMatchesKnn so it runs headless).
+
+        :return: dict with 'good' (list of (uv_a, uv_b)), 'num_keypoints_a/b',
+            'rows' (3D-error dicts per good match)
+        """
+        try:
+            import cv2
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError("OpenCV not available; SIFT analysis disabled") from e
+
+        rgb_a, depth_a, mask_a, pose_a = dataset.get_rgbd_mask_pose(scene_name, img_a_idx)
+        rgb_b, depth_b, mask_b, pose_b = dataset.get_rgbd_mask_pose(scene_name, img_b_idx)
+        K = dataset.get_scene(scene_name).K
+
+        sift = cv2.SIFT_create()
+        gray_a = cv2.cvtColor(np.asarray(rgb_a), cv2.COLOR_RGB2GRAY)
+        gray_b = cv2.cvtColor(np.asarray(rgb_b), cv2.COLOR_RGB2GRAY)
+        kp_a, des_a = sift.detectAndCompute(gray_a, np.asarray(mask_a))
+        kp_b, des_b = sift.detectAndCompute(gray_b, np.asarray(mask_b))
+        result = {"num_keypoints_a": len(kp_a), "num_keypoints_b": len(kp_b),
+                  "good": [], "rows": []}
+        if des_a is None or des_b is None:
+            return result
+
+        bf = cv2.BFMatcher()
+        matches = bf.knnMatch(des_a, des_b, k=2)
+        good = [m for m, n in matches if m.distance < cross_match_threshold * n.distance]
+
+        for m in good:
+            ua, va = map(int, np.round(kp_a[m.queryIdx].pt))
+            ub, vb = map(int, np.round(kp_b[m.trainIdx].pt))
+            result["good"].append(((ua, va), (ub, vb)))
+            za = float(depth_a[va, ua]) / DEPTH_IM_SCALE
+            zb = float(depth_b[vb, ub]) / DEPTH_IM_SCALE
+            err = np.nan
+            if za > 0 and zb > 0:
+                pa = transform_points(
+                    jnp.asarray(pose_a, jnp.float32),
+                    unproject_to_camera(np.array([ua, va], np.float32),
+                                        np.float32(za), K))
+                pb = transform_points(
+                    jnp.asarray(pose_b, jnp.float32),
+                    unproject_to_camera(np.array([ub, vb], np.float32),
+                                        np.float32(zb), K))
+                err = float(np.linalg.norm(np.asarray(pa) - np.asarray(pb)))
+            result["rows"].append({
+                "scene_name": scene_name, "img_a_idx": img_a_idx,
+                "img_b_idx": img_b_idx, "is_valid": za > 0 and zb > 0,
+                "norm_diff_pred_3d": err,
+            })
+
+        if output_path is not None and result["good"]:
+            from pdc_tpu.evaluation.qualitative import draw_correspondence_panel
+
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            show = result["good"][:num_visualize]
+            fig, ax = plt.subplots(figsize=(15, 6))
+            draw_correspondence_panel(
+                rgb_a, rgb_b,
+                np.asarray([g[0] for g in show]),
+                np.asarray([g[1] for g in show]),
+                ax=ax, title=f"SIFT matches ({len(good)} good / "
+                             f"{len(matches)} total)")
+            fig.savefig(output_path, bbox_inches="tight")
+            plt.close(fig)
+        return result
+
+    @staticmethod
     def compare_against_sift(dataset, num_image_pairs: int = 50, seed: int = 1):
         """SIFT keypoint-match 3D-error baseline (reference
         evaluation.py:1554-1767). Host-side; requires cv2 with SIFT."""
