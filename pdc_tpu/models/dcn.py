@@ -27,7 +27,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from pdc_tpu.models.resnet import ResNet18_8s, ResNet34_8s
+from pdc_tpu.models.resnet import (
+    ResNet18_8s,
+    ResNet34_8s,
+    ResNet50_8s,
+    ResNet101_8s,
+)
 from pdc_tpu.models.unet import UNet
 from pdc_tpu.ops.matching import (
     best_match_for_descriptor,
@@ -59,11 +64,15 @@ def build_backbone(config: dict, dtype=None):
     remat = bool(config.get("remat", False))
     if backbone["model_class"] == "Resnet":
         name = backbone.get("resnet_name", "Resnet34_8s")
-        if name == "Resnet34_8s":
-            return ResNet34_8s(d, dtype=dtype, remat=remat)
-        if name == "Resnet18_8s":
-            return ResNet18_8s(d, dtype=dtype, remat=remat)
-        raise ValueError(f"unsupported resnet_name: {name}")
+        factories = {
+            "Resnet18_8s": ResNet18_8s,
+            "Resnet34_8s": ResNet34_8s,
+            "Resnet50_8s": ResNet50_8s,
+            "Resnet101_8s": ResNet101_8s,
+        }
+        if name not in factories:
+            raise ValueError(f"unsupported resnet_name: {name}")
+        return factories[name](d, dtype=dtype, remat=remat)
     if backbone["model_class"] == "Unet":
         return UNet(num_classes=d, dtype=dtype)
     raise ValueError(f"unknown backbone model_class: {backbone['model_class']}")

@@ -66,6 +66,52 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class BottleneckBlock(nn.Module):
+    """ResNet v1.5 bottleneck (1x1 reduce -> 3x3 stride/dilation -> 1x1
+    expand x4), dilation on the 3x3 as in the dilated-FCN construction the
+    reference's backbone library uses for its deeper variants."""
+
+    features: int  # bottleneck width; output channels = 4 * features
+    stride: int = 1
+    dilation: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_features = 4 * self.features
+        needs_proj = (x.shape[-1] != out_features) or self.stride != 1
+        residual = x
+
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv1")(x)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn1")(y)
+        y = nn.relu(y)
+        y = nn.Conv(
+            self.features, (3, 3), strides=(self.stride, self.stride),
+            kernel_dilation=(self.dilation, self.dilation),
+            padding=[(self.dilation, self.dilation)] * 2,
+            use_bias=False, dtype=self.dtype, name="conv2",
+        )(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn2")(y)
+        y = nn.relu(y)
+        y = nn.Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                         dtype=self.dtype, name="bn3")(y)
+
+        if needs_proj:
+            residual = nn.Conv(
+                out_features, (1, 1), strides=(self.stride, self.stride),
+                use_bias=False, dtype=self.dtype, name="proj_conv",
+            )(residual)
+            residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
+                                    dtype=self.dtype, name="proj_bn")(residual)
+
+        return nn.relu(y + residual)
+
+
 class ResNetFCN(nn.Module):
     """Dilated ResNet FCN. ``output_stride`` of 8 dilates stages 3 and 4.
 
@@ -80,6 +126,7 @@ class ResNetFCN(nn.Module):
     output_stride: int = 8
     dtype: Any = jnp.float32
     remat: bool = False
+    bottleneck: bool = False  # BottleneckBlock (ResNet-50/101) vs BasicBlock
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -103,7 +150,8 @@ class ResNetFCN(nn.Module):
             stage_strides = (1, 2, 2, 2)
             stage_dilations = (1, 1, 1, 1)
 
-        block_cls = nn.remat(BasicBlock, static_argnums=(2,)) if self.remat else BasicBlock
+        base_cls = BottleneckBlock if self.bottleneck else BasicBlock
+        block_cls = nn.remat(base_cls, static_argnums=(2,)) if self.remat else base_cls
         features = (64, 128, 256, 512)
         for stage, (blocks, feats) in enumerate(zip(self.stage_sizes, features)):
             for block in range(blocks):
@@ -145,8 +193,13 @@ def ResNet18_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> Res
                      output_stride=8, dtype=dtype, remat=remat)
 
 
-def ResNet101_8s(num_classes: int, dtype=jnp.float32) -> ResNetFCN:  # pragma: no cover
-    raise NotImplementedError(
-        "Bottleneck-block ResNets are planned; the reference's shipped "
-        "configs all use Resnet34_8s (training.yaml backbone block)."
-    )
+def ResNet50_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> ResNetFCN:
+    return ResNetFCN(num_classes=num_classes, stage_sizes=(3, 4, 6, 3),
+                     output_stride=8, dtype=dtype, remat=remat, bottleneck=True)
+
+
+def ResNet101_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> ResNetFCN:
+    """The deeper variant the reference's backbone library also offers
+    (pytorch-segmentation-detection Resnet101_8s)."""
+    return ResNetFCN(num_classes=num_classes, stage_sizes=(3, 4, 23, 3),
+                     output_stride=8, dtype=dtype, remat=remat, bottleneck=True)

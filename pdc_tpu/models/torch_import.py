@@ -86,6 +86,9 @@ def convert_torchvision_resnet(state_dict: Mapping, variables: Dict) -> Dict:
             bset_bn("bn1", prefix + ".bn1")
             bset_conv("conv2", prefix + ".conv2")
             bset_bn("bn2", prefix + ".bn2")
+            if prefix + ".conv3.weight" in sd:  # bottleneck (ResNet-50/101)
+                bset_conv("conv3", prefix + ".conv3")
+                bset_bn("bn3", prefix + ".bn3")
             if prefix + ".downsample.0.weight" in sd:
                 bset_conv("proj_conv", prefix + ".downsample.0")
                 bset_bn("proj_bn", prefix + ".downsample.1")

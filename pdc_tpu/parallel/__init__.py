@@ -1,2 +1,7 @@
+from pdc_tpu.parallel.distributed import (
+    ensure_initialized,
+    local_scene_subset,
+    process_info,
+)
 from pdc_tpu.parallel.mesh import make_mesh
 from pdc_tpu.parallel.sharded_train import make_sharded_train_step, shard_host_batch

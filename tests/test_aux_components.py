@@ -102,3 +102,29 @@ def test_panda_wrapper_and_keypoint_df():
     kdf = convert_keypoint_annotations_to_dataframe([ann])
     assert len(kdf) == 1
     assert kdf["u_b"].iloc[0] == 4
+
+
+def test_distributed_single_process_fallback():
+    """ensure_initialized must be a safe no-op in single-process runs and
+    expose the topology helpers (reference has no distributed layer;
+    SURVEY 2c)."""
+    import jax
+
+    from pdc_tpu.parallel.distributed import (
+        ensure_initialized,
+        local_scene_subset,
+        process_info,
+    )
+
+    assert ensure_initialized() is False  # single process
+    assert ensure_initialized() is False  # idempotent
+    info = process_info()
+    assert info["process_count"] == 1
+    assert info["global_device_count"] == len(jax.devices())
+
+    names = [f"scene_{i}" for i in range(7)]
+    parts = [local_scene_subset(names, process_index=i, process_count=3)
+             for i in range(3)]
+    flat = sorted(n for p in parts for n in p)
+    assert flat == sorted(names)
+    assert max(len(p) for p in parts) - min(len(p) for p in parts) <= 1

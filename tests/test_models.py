@@ -149,3 +149,59 @@ def test_find_best_match_api():
     assert tuple(np.asarray(uv)) == (7, 5)
     assert float(diff) < 1e-5
     assert nd.shape == (32, 32)
+
+
+@pytest.mark.slow
+def test_resnet50_bottleneck_and_import():
+    """Bottleneck ResNet-50-8s: output shape, parameter scale, and
+    torchvision-layout weight import incl. conv3/bn3 (reference backbone
+    library's deeper variants)."""
+    from pdc_tpu.models.dcn import build_backbone
+    from pdc_tpu.models.torch_import import convert_torchvision_resnet
+
+    m = build_backbone({"descriptor_dimension": 3,
+                        "backbone": {"model_class": "Resnet",
+                                     "resnet_name": "Resnet50_8s"}})
+    x = jnp.zeros((1, 48, 64, 3))
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    out = m.apply(v, x, train=False)
+    assert out.shape == (1, 48, 64, 3)
+    n_params = sum(np.prod(p.shape) for p in jax.tree.leaves(v["params"]))
+    assert 20e6 < n_params < 30e6  # torchvision resnet50 backbone is ~23.5M
+
+    # synthesize a torchvision-shaped state dict from the flax shapes and
+    # check the conv3 kernel lands transposed OIHW -> HWIO
+    rng = np.random.RandomState(0)
+    sd = {}
+    params, stats = v["params"], v["batch_stats"]
+
+    def add_bn(tname, fname, p, s):
+        sd[tname + ".weight"] = rng.rand(*p[fname]["scale"].shape).astype(np.float32)
+        sd[tname + ".bias"] = rng.rand(*p[fname]["bias"].shape).astype(np.float32)
+        sd[tname + ".running_mean"] = rng.rand(*s[fname]["mean"].shape).astype(np.float32)
+        sd[tname + ".running_var"] = (rng.rand(*s[fname]["var"].shape) + 0.5).astype(np.float32)
+
+    def add_conv(tname, fname, p):
+        k = p[fname]["kernel"]  # HWIO
+        sd[tname + ".weight"] = rng.rand(
+            k.shape[3], k.shape[2], k.shape[0], k.shape[1]).astype(np.float32)
+
+    add_conv("conv1", "stem_conv", params)
+    add_bn("bn1", "stem_bn", params, stats)
+    for st, nblocks in enumerate([3, 4, 6, 3], start=1):
+        for b in range(nblocks):
+            fx = f"stage{st}_block{b}"
+            for c in ("conv1", "conv2", "conv3"):
+                add_conv(f"layer{st}.{b}.{c}", c, params[fx])
+            for bn in ("bn1", "bn2", "bn3"):
+                add_bn(f"layer{st}.{b}.{bn}", bn, params[fx], stats[fx])
+            if "proj_conv" in params[fx]:
+                add_conv(f"layer{st}.{b}.downsample.0", "proj_conv", params[fx])
+                add_bn(f"layer{st}.{b}.downsample.1", "proj_bn", params[fx], stats[fx])
+
+    v2 = convert_torchvision_resnet(sd, v)
+    w_torch = sd["layer1.0.conv3.weight"].transpose(2, 3, 1, 0)
+    w_flax = np.asarray(v2["params"]["stage1_block0"]["conv3"]["kernel"])
+    np.testing.assert_allclose(w_torch, w_flax)
+    out2 = m.apply(v2, x, train=False)
+    assert not np.allclose(np.asarray(out), np.asarray(out2))
