@@ -493,6 +493,32 @@ class SpartanDataset:
         s = self.get_scene(scene_name)
         return s.rgb[img_idx], s.depth[img_idx], s.mask[img_idx], s.poses[img_idx]
 
+    # thin accessors kept for reference-API parity
+    # (spartan_dataset_masked.py:357-389, dense_correspondence_dataset_masked.py)
+
+    def get_camera_intrinsics(self, scene_name: str):
+        """K matrix wrapper (reference returns a CameraIntrinsics; the `.K`
+        attribute is what call sites use)."""
+        from pdc_tpu.geom.camera import CameraIntrinsics
+
+        s = self.get_scene(scene_name)
+        H, W = s.rgb.shape[1:3]
+        K = np.asarray(s.K)
+        return CameraIntrinsics(cx=K[0, 2], cy=K[1, 2], fx=K[0, 0], fy=K[1, 1],
+                                width=W, height=H)
+
+    def get_pose_from_scene_name_and_idx(self, scene_name: str, img_idx: int):
+        return self.get_scene(scene_name).poses[img_idx]
+
+    def get_rgb_image_from_scene_name_and_idx(self, scene_name: str, img_idx: int):
+        return self.get_scene(scene_name).rgb[img_idx]
+
+    def get_mask_image_from_scene_name_and_idx(self, scene_name: str, img_idx: int):
+        return self.get_scene(scene_name).mask[img_idx]
+
+    def get_depth_image_from_scene_name_and_idx(self, scene_name: str, img_idx: int):
+        return self.get_scene(scene_name).depth[img_idx]
+
     def get_image_mean(self):
         from pdc_tpu.utils.constants import DEFAULT_IMAGE_MEAN
 
