@@ -8,7 +8,7 @@ Timing notes:
   * the forward is fused with a scalar reduction and synchronized by fetching
     that scalar — ``block_until_ready`` alone does not reliably block through
     the axon TPU tunnel and reports physically-impossible numbers
-  * bfloat16 compute, batch 128 (throughput-optimal on a single chip; the
+  * bfloat16 compute, batch 256 (throughput-optimal on a single chip; the
     descriptor image stays bf16 through the x8 resize)
   * MFU context printed to stderr: forward = 200.2 GFLOPs/image at 640x480
     (XLA cost analysis), v5e peak ~197 bf16 TFLOPS
@@ -44,7 +44,7 @@ def main():
         dtype=dtype,
     )
 
-    B = 128 if on_tpu else 1
+    B = 256 if on_tpu else 1
     x = jnp.zeros((B, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
