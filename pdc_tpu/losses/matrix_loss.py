@@ -94,13 +94,17 @@ def pooled_non_match_loss(
 
     valid = matches_valid[:, None] & pool_valid[None, :]
 
-    # collision mask: pool pixel within 1 px (u AND v) of the row's true match
+    # collision mask: pool pixel within 1 px of the row's true match in u OR
+    # v — the reference's rule (correspondence_finder.py:355-372 perturbs a
+    # non-match when EITHER coordinate is too close). The per-pair path
+    # perturbs colliding samples; the pooled form can simply exclude them
+    # (the pool is shared, so a row loses at most a cross-shaped sliver).
     W = image_width
     pool_u = (pool_b % W).astype(jnp.float32)
     pool_v = (pool_b // W).astype(jnp.float32)
     du = jnp.abs(matches_uv_b[:, 0:1] - pool_u[None, :])
     dv = jnp.abs(matches_uv_b[:, 1:2] - pool_v[None, :])
-    collides = (du < 1.0) & (dv < 1.0)
+    collides = (du < 1.0) | (dv < 1.0)
     valid = valid & ~collides
 
     loss_mat = jnp.where(valid, jnp.square(hinge), 0.0)
