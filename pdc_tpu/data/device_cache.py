@@ -150,22 +150,35 @@ class DeviceCache:
         return out
 
 
-def partition_scenes(dataset, num_shards: int):
+def partition_scenes(dataset, num_shards: int, by_object: bool = False):
     """Greedy balanced partition of whole scenes across shards (largest
-    scene first to the least-loaded shard). Whole scenes per shard keep
-    within-scene pair sampling local to a chip."""
-    order = sorted(dataset.scenes, key=lambda n: -dataset.scenes[n].num_frames)
+    first to the least-loaded shard). Whole scenes per shard keep
+    within-scene pair sampling local to a chip; ``by_object`` keeps ALL
+    scenes of an object together so across-scene (same-object) pairs are
+    chip-local too."""
+    if by_object:
+        objects = {}
+        for name, s in dataset.scenes.items():
+            objects.setdefault(s.object_id or name, []).append(name)
+        units = [(sorted(names),
+                  sum(dataset.scenes[n].num_frames for n in names))
+                 for names in objects.values()]
+    else:
+        units = [([name], dataset.scenes[name].num_frames)
+                 for name in dataset.scenes]
+    units.sort(key=lambda u: -u[1])
     shards = [[] for _ in range(num_shards)]
     loads = [0] * num_shards
-    for name in order:
+    for names, frames in units:
         i = int(np.argmin(loads))
-        shards[i].append(name)
-        loads[i] += dataset.scenes[name].num_frames
+        shards[i].extend(names)
+        loads[i] += frames
     for i, names in enumerate(shards):
         if not names:
+            kind = "objects" if by_object else "scenes"
             raise ValueError(
-                f"shard {i} received no scenes — dataset has "
-                f"{len(dataset.scenes)} scenes for {num_shards} shards")
+                f"shard {i} received no scenes — dataset has too few {kind} "
+                f"for {num_shards} shards")
     return shards
 
 
@@ -191,6 +204,10 @@ class ShardedDeviceCache:
     scene_offsets: jnp.ndarray    # [n, Smax] int32 (local offsets)
     scene_lengths: jnp.ndarray    # [n, Smax] int32 (0 = padding)
     num_scenes: jnp.ndarray       # [n, 1] int32
+    # per-shard object tables (type-mixed sampling; local scene slots)
+    scenes_by_object: jnp.ndarray   # [n, Omax, Mmax] int32, -1 padded
+    scenes_per_object: jnp.ndarray  # [n, Omax] int32
+    num_objects: jnp.ndarray        # [n, 1] int32
     frames_per_shard: int
     assignment: dict              # scene name -> shard index
     mesh: object
@@ -199,11 +216,16 @@ class ShardedDeviceCache:
 
     @staticmethod
     def from_dataset(dataset, mesh, data_axis: str = "data",
-                     max_bytes_per_device: int = 8 << 30) -> "ShardedDeviceCache":
+                     max_bytes_per_device: int = 8 << 30,
+                     by_object: bool = False) -> "ShardedDeviceCache":
+        """:param by_object: keep all scenes of an object on one chip, so the
+        across-scene/different-object sample types stay chip-local (needed
+        for type-mixed sharded training; different-object additionally needs
+        >= 2 objects per shard)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n = mesh.shape[data_axis]
-        shards = partition_scenes(dataset, n)
+        shards = partition_scenes(dataset, n, by_object=by_object)
         assignment = {name: i for i, names in enumerate(shards) for name in names}
 
         fmax = max(sum(dataset.scenes[nm].num_frames for nm in names)
@@ -220,6 +242,26 @@ class ShardedDeviceCache:
         offsets = np.zeros((n, smax), np.int32)
         lengths = np.zeros((n, smax), np.int32)
         nums = np.zeros((n, 1), np.int32)
+
+        # per-shard object tables
+        shard_objects = []
+        for names in shards:
+            objs = {}
+            for j, name in enumerate(sorted(names)):
+                oid = dataset.scenes[name].object_id or name
+                objs.setdefault(oid, []).append(j)
+            shard_objects.append(objs)
+        omax = max(len(o) for o in shard_objects)
+        mmax = max(max(len(v) for v in o.values()) for o in shard_objects)
+        by_obj = np.full((n, omax, mmax), -1, np.int32)
+        per_obj = np.zeros((n, omax), np.int32)
+        num_obj = np.zeros((n, 1), np.int32)
+        for c, objs in enumerate(shard_objects):
+            for oi, oid in enumerate(sorted(objs)):
+                slots = objs[oid]
+                by_obj[c, oi, :len(slots)] = slots
+                per_obj[c, oi] = len(slots)
+            num_obj[c, 0] = len(objs)
 
         for c, names in enumerate(shards):
             off = 0
@@ -252,7 +294,9 @@ class ShardedDeviceCache:
             rgb=put_f(rgb), depth=put_f(depth), mask=put_f(mask),
             poses=put_f(poses), Ks=put_f(Ks),
             scene_offsets=put_t(offsets), scene_lengths=put_t(lengths),
-            num_scenes=put_t(nums), frames_per_shard=fmax,
+            num_scenes=put_t(nums),
+            scenes_by_object=put_t(by_obj), scenes_per_object=put_t(per_obj),
+            num_objects=put_t(num_obj), frames_per_shard=fmax,
             assignment=assignment, mesh=mesh, data_axis=data_axis,
             dataset=dataset,
         )

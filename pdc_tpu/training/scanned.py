@@ -178,6 +178,78 @@ def device_sample_pairs_bounded(key, scene_offsets, scene_lengths, num_scenes,
     return jax.vmap(one)(keys)
 
 
+def device_sample_pairs_mixed_bounded(key, offsets, lengths, num_scenes,
+                                      by_obj, per_obj, num_obj, poses,
+                                      batch_size: int, type_probs: tuple):
+    """Type-mixed per-chip sampler for the sharded cache — the bounded-table
+    analog of :func:`device_sample_pairs_mixed`. All scene/object counts are
+    TRACED (each chip sees its own zero-padded tables inside shard_map).
+
+    Fallbacks mirror the host sampler: an across-scene draw on a
+    single-scene object uses the same scene twice; a different-object draw
+    on a single-object shard demotes to within-scene (type 0).
+
+    :param offsets, lengths: [Smax] int32; num_scenes scalar
+    :param by_obj: [Omax, Mmax] int32 local scene slots (-1 padded)
+    :param per_obj: [Omax] int32; num_obj scalar
+    :param type_probs: static ((match_type, prob), ...) over {0, 1, 2}
+    """
+    types = jnp.asarray([t for t, _ in type_probs], jnp.int32)
+    weights = jnp.asarray([p for _, p in type_probs], jnp.float32)
+    weights = weights / jnp.sum(weights)
+
+    def frame_in_scene(k, s):
+        return offsets[s] + jax.random.randint(
+            k, (), 0, jnp.maximum(lengths[s], 1))
+
+    def one(k):
+        ks = jax.random.split(k, 8)
+        mt = types[jax.random.categorical(ks[0], jnp.log(weights))]
+        mt = jnp.where((mt == 2) & (num_obj < 2), 0, mt)
+
+        # within-scene with pose rejection
+        s_w = jax.random.randint(ks[1], (), 0, jnp.maximum(num_scenes, 1))
+        fa_w = frame_in_scene(ks[2], s_w)
+        cand = offsets[s_w] + jax.random.randint(
+            ks[3], (NUM_POSE_CANDIDATES,), 0, jnp.maximum(lengths[s_w], 1))
+        ok = _pose_ok(poses[fa_w], poses[cand])
+        fb_w = jnp.where(ok.any(), cand[jnp.argmax(ok)], fa_w)
+        mt_w = jnp.where(ok.any(), 0, -1).astype(jnp.int32)
+
+        # across-scene: two scenes of one object
+        o_x = jax.random.randint(ks[4], (), 0, jnp.maximum(num_obj, 1))
+        n_o = per_obj[o_x]
+        i1 = jax.random.randint(ks[5], (), 0, jnp.maximum(n_o, 1))
+        i2 = jnp.where(
+            n_o > 1,
+            (i1 + 1 + jax.random.randint(ks[6], (), 0, jnp.maximum(n_o - 1, 1)))
+            % jnp.maximum(n_o, 1),
+            i1)
+        s_x1 = by_obj[o_x, i1]
+        s_x2 = by_obj[o_x, i2]
+
+        # different-object: two distinct objects of this shard
+        o_d2 = jnp.where(
+            num_obj > 1,
+            (o_x + 1 + jax.random.randint(ks[7], (), 0, jnp.maximum(num_obj - 1, 1)))
+            % jnp.maximum(num_obj, 1),
+            o_x)
+        s_d1 = by_obj[o_x, jax.random.randint(ks[5], (), 0, jnp.maximum(per_obj[o_x], 1))]
+        s_d2 = by_obj[o_d2, jax.random.randint(ks[6], (), 0, jnp.maximum(per_obj[o_d2], 1))]
+
+        is_within = mt == 0
+        is_across = mt == 1
+        s_a = jnp.where(is_within, s_w, jnp.where(is_across, s_x1, s_d1))
+        s_b = jnp.where(is_within, s_w, jnp.where(is_across, s_x2, s_d2))
+        fa = jnp.where(is_within, fa_w, frame_in_scene(ks[2], s_a))
+        fb = jnp.where(is_within, fb_w, frame_in_scene(ks[3], s_b))
+        mt_out = jnp.where(is_within, mt_w, mt)
+        return fa.astype(jnp.int32), fb.astype(jnp.int32), mt_out
+
+    keys = jax.random.split(key, batch_size)
+    return jax.vmap(one)(keys)
+
+
 def device_sample_pairs(key, scene_offsets, scene_lengths, poses, batch_size: int):
     """Sample ``batch_size`` within-scene frame pairs on device.
 
@@ -218,7 +290,8 @@ def device_sample_pairs(key, scene_offsets, scene_lengths, poses, batch_size: in
 def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
                                   assembler_cfg: AssemblerConfig,
                                   image_width: int, cache,
-                                  batch_size: int, steps_per_dispatch: int):
+                                  batch_size: int, steps_per_dispatch: int,
+                                  type_probs=None):
     """Scanned DP training over a :class:`ShardedDeviceCache`.
 
     Unlike :func:`make_scanned_train_step`'s replicated DP path, the frame
@@ -227,6 +300,11 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     within-scene pairs from ITS scene subset (per-host data sharding), runs
     ``batch_size`` pairs per step, and gradients mix via pmean over ICI.
     K global steps per host dispatch, global batch = batch_size * n_chips.
+
+    ``type_probs`` (optional): ((match_type, prob), ...) over {0 within-scene,
+    1 across-scene, 2 different-object} — build the cache with
+    ``by_object=True`` so same-object scenes share a chip; shards with one
+    object demote different-object draws to within-scene.
 
     Reference anchor: SURVEY §2c host-pipeline row (per-host sharded scene
     lists); the reference itself has no distributed path at all.
@@ -238,12 +316,21 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     loss_fn = build_loss_fn(model, loss_cfg, image_width, compose)
     mesh, data_axis = cache.mesh, cache.data_axis
 
+    mixed = type_probs is not None and any(t != 0 for t, p in type_probs if p > 0)
+    if mixed:
+        type_probs = tuple((t, p) for t, p in type_probs if p > 0)
+
     def one_step(state, key, rgb, depth, mask, poses, Ks,
-                 offsets, lengths, num):
+                 offsets, lengths, num, by_obj, per_obj, num_obj):
         key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         k_sample, k_assemble = jax.random.split(key)
-        fa, fb, mt = device_sample_pairs_bounded(
-            k_sample, offsets, lengths, num, poses, batch_size)
+        if mixed:
+            fa, fb, mt = device_sample_pairs_mixed_bounded(
+                k_sample, offsets, lengths, num, by_obj, per_obj, num_obj,
+                poses, batch_size, type_probs)
+        else:
+            fa, fb, mt = device_sample_pairs_bounded(
+                k_sample, offsets, lengths, num, poses, batch_size)
         batch = {
             "match_type": mt,
             "rgb_a": jnp.take(rgb, fa, axis=0),
@@ -269,20 +356,20 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
                           batch_stats=new_stats, opt_state=new_opt), metrics
 
     def multi_step(state, rgb, depth, mask, poses, Ks,
-                   offsets, lengths, nums, key):
-        # local views inside shard_map: stacks [Fmax, ...]; tables [1, Smax]
-        off, ln, num = offsets[0], lengths[0], nums[0, 0]
+                   offsets, lengths, nums, by_obj, per_obj, num_obj, key):
+        # local views inside shard_map: stacks [Fmax, ...]; tables [1, ...]
         keys = jax.random.split(key, steps_per_dispatch)
         return jax.lax.scan(
             lambda c, k: one_step(c, k, rgb, depth, mask, poses, Ks,
-                                  off, ln, num),
+                                  offsets[0], lengths[0], nums[0, 0],
+                                  by_obj[0], per_obj[0], num_obj[0, 0]),
             state, keys,
         )
 
     repl = P()
     sh = P(data_axis)
     specs = dict(
-        in_specs=(repl, sh, sh, sh, sh, sh, sh, sh, sh, repl),
+        in_specs=(repl, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, repl),
         out_specs=(repl, repl),
     )
     try:
@@ -296,7 +383,8 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
         key = jax.device_put(key, repl_sharding)
         return jitted(state, cache.rgb, cache.depth, cache.mask, cache.poses,
                       cache.Ks, cache.scene_offsets, cache.scene_lengths,
-                      cache.num_scenes, key)
+                      cache.num_scenes, cache.scenes_by_object,
+                      cache.scenes_per_object, cache.num_objects, key)
 
     return run
 

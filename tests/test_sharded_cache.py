@@ -108,3 +108,79 @@ def test_sharded_cache_scanned_training(dataset, mesh):
     losses = np.concatenate([np.asarray(m1["loss"]), np.asarray(m2["loss"])])
     assert losses.shape == (4,)
     assert np.isfinite(losses).all()
+
+
+def test_partition_by_object_keeps_objects_whole(dataset):
+    shards = partition_scenes(dataset, 2, by_object=True)
+    obj_to_shard = {}
+    for i, names in enumerate(shards):
+        for n in names:
+            oid = dataset.scenes[n].object_id
+            assert obj_to_shard.setdefault(oid, i) == i, (
+                f"object {oid} split across shards")
+
+
+@pytest.mark.slow
+def test_sharded_cache_mixed_types(dataset, mesh):
+    """Type-mixed (within/across/different) scanned DP training over an
+    object-partitioned sharded cache."""
+    from pdc_tpu.data.assembler import AssemblerConfig
+    from pdc_tpu.losses.pixelwise_contrastive import LossConfig
+    from pdc_tpu.models.dcn import build_backbone
+    from pdc_tpu.training.scanned import (
+        device_sample_pairs_mixed_bounded,
+        make_sharded_cache_train_step,
+    )
+    from pdc_tpu.training.train import create_train_state
+
+    # 2-device mesh so each shard holds one object (4 scenes of it)
+    mesh2 = make_mesh(("data",), devices=jax.devices()[:2])
+    cache = ShardedDeviceCache.from_dataset(dataset, mesh2, by_object=True)
+
+    # direct sampler check on shard 0's local tables
+    offsets = np.asarray(cache.scene_offsets)[0]
+    lengths = np.asarray(cache.scene_lengths)[0]
+    num = np.asarray(cache.num_scenes)[0, 0]
+    by_obj = np.asarray(cache.scenes_by_object)[0]
+    per_obj = np.asarray(cache.scenes_per_object)[0]
+    num_obj = np.asarray(cache.num_objects)[0, 0]
+    import jax.numpy as jnp
+
+    fa, fb, mt = device_sample_pairs_mixed_bounded(
+        jax.random.PRNGKey(0), jnp.asarray(offsets), jnp.asarray(lengths),
+        jnp.asarray(num), jnp.asarray(by_obj), jnp.asarray(per_obj),
+        jnp.asarray(num_obj), jnp.asarray(np.asarray(cache.poses)[:cache.frames_per_shard]),
+        batch_size=64, type_probs=((0, 0.5), (1, 0.3), (2, 0.2)))
+    mt = np.asarray(mt)
+    # single-object shard: different-object draws demote to within-scene
+    assert set(np.unique(mt)).issubset({-1, 0, 1})
+    assert (np.asarray(fa) < cache.frames_per_shard).all()
+    # across-scene pairs exist and use two scenes of the same object
+    assert (mt == 1).any()
+
+    config = {
+        "training": {
+            "learning_rate": 1e-4, "learning_rate_decay": 0.9,
+            "steps_between_learning_rate_decay": 250, "weight_decay": 1e-4,
+        },
+        "dense_correspondence_network": {
+            "descriptor_dimension": 3,
+            "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+        },
+    }
+    model = build_backbone(config["dense_correspondence_network"])
+    state, tx = create_train_state(model, config, jax.random.PRNGKey(0), (H, W))
+    acfg = AssemblerConfig(
+        num_matching_attempts=64, masked_pool_size=32,
+        background_pool_size=32, num_blind_samples=16,
+        cross_scene_num_samples=32,
+    )
+    step = make_sharded_cache_train_step(
+        model, tx, LossConfig(), acfg, W, cache,
+        batch_size=2, steps_per_dispatch=2,
+        type_probs=((0, 0.6), (1, 0.2), (2, 0.2)))
+    state, m = step(state, jax.random.PRNGKey(3))
+    jax.block_until_ready(state.params)
+    losses = np.asarray(m["loss"])
+    assert losses.shape == (2,)
+    assert np.isfinite(losses).all()
