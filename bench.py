@@ -32,7 +32,9 @@ def main():
     import jax.numpy as jnp
 
     from pdc_tpu.models.dcn import build_backbone
+    from pdc_tpu.utils.compilation_cache import maybe_enable_from_env
 
+    maybe_enable_from_env()
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 

@@ -404,6 +404,15 @@ class DenseCorrespondenceTraining:
         net_cfg = self._config["dense_correspondence_network"]
         H, W = net_cfg["image_height"], net_cfg["image_width"]
 
+        # persistent XLA compilation cache (40-200 s compiles of the fused
+        # 640x480 programs amortize across processes)
+        from pdc_tpu.utils.compilation_cache import enable, maybe_enable_from_env
+
+        if t.get("compilation_cache_dir"):
+            enable(t["compilation_cache_dir"])
+        else:
+            maybe_enable_from_env()
+
         self.setup_logging_dir()
         self.save_configs()
         self._dataset.set_parameters_from_training_config(self._config)
