@@ -231,10 +231,11 @@ def plot_keypoint_cdfs(df, output_path: Optional[str] = None):
 def run_cross_instance_keypoint_evaluation_on_network(
         model_folder: str, path_to_cross_instance_labels,
         save_folder_name: str = "analysis/cross_scene_keypoints",
-        dataset=None, save: bool = True):
+        dataset=None, save: bool = True, num_qualitative_pairs: int = 0):
     """One call on a model folder -> the keypoint analysis artifact set
     (reference evaluation.py:2413-2463): data.csv + keypoint_statistics.csv +
-    keypoint_cdf.png + keypoint_stats.yaml.
+    keypoint_cdf.png + keypoint_stats.yaml (+ optional qualitative keypoint
+    heatmap panels for the first label pairs).
 
     :param dataset: optional; reconstructed from the folder's dataset.yaml
         when omitted (as the reference's dcn.load_training_dataset does)
@@ -247,8 +248,10 @@ def run_cross_instance_keypoint_evaluation_on_network(
         dataset = DenseCorrespondenceEvaluation.load_dataset_from_model_folder(
             model_folder)
 
-    df = evaluate_network_cross_scene_keypoints(
-        dcn, dataset, path_to_cross_instance_labels)
+    labels = path_to_cross_instance_labels
+    if isinstance(labels, str):
+        labels = load_yaml(labels)
+    df = evaluate_network_cross_scene_keypoints(dcn, dataset, labels)
 
     if save:
         output_dir = os.path.join(model_folder, save_folder_name)
@@ -259,5 +262,42 @@ def run_cross_instance_keypoint_evaluation_on_network(
         stats = plot_keypoint_cdfs(
             df, output_path=os.path.join(output_dir, "keypoint_cdf.png"))
         save_yaml(stats, os.path.join(output_dir, "keypoint_stats.yaml"))
+        if num_qualitative_pairs > 0:
+            _write_keypoint_qualitative(dcn, dataset, labels, output_dir,
+                                        num_qualitative_pairs)
     logger.info("finished cross-scene keypoint evaluation")
     return df
+
+
+def _write_keypoint_qualitative(dcn, dataset, labels, output_dir: str,
+                                num_pairs: int):
+    """Keypoint heatmap panels for the first label pairs (reference
+    evaluation.py:1257-1345 rendered headlessly per pair/keypoint)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    from pdc_tpu.evaluation.qualitative import (
+        single_image_pair_keypoint_qualitative_analysis,
+    )
+
+    written = 0
+    for a, b in itertools.combinations(labels, 2):
+        if written >= num_pairs:
+            break
+        for name in sorted(a["keypoints"]):
+            if name not in b["keypoints"]:
+                continue
+            kd_a = dict(scene_name=a["scene_name"],
+                        image_idx=a["image_idx"], **a["keypoints"][name])
+            kd_b = dict(scene_name=b["scene_name"],
+                        image_idx=b["image_idx"], **b["keypoints"][name])
+            fig = single_image_pair_keypoint_qualitative_analysis(
+                dcn, dataset, kd_a, kd_b,
+                plot_title=f"keypoint {name}")
+            fig.savefig(os.path.join(
+                output_dir, f"keypoint_qual_{written:02d}_{name}.png"),
+                bbox_inches="tight")
+            plt.close(fig)
+        written += 1
