@@ -224,6 +224,16 @@ class DenseCorrespondenceNetwork:
         v = np.clip(np.round(kp[:, 1]).astype(int), 0, self._image_height - 1)
         return np.asarray(res[v, u, :], dtype=np.float32)
 
+    def load_training_dataset(self, mode: str = "train"):
+        """Reconstruct the dataset this network was trained on from the model
+        folder's dataset.yaml snapshot (reference
+        dense_correspondence_network.py `load_training_dataset`)."""
+        from pdc_tpu.data.dataset import SpartanDataset
+
+        folder = self.model_folder or self.path_to_network_params_folder
+        config = load_yaml(os.path.join(folder, "dataset.yaml"))
+        return SpartanDataset.from_dataset_config(config, mode=mode)
+
     # -- constructors ----------------------------------------------------------
 
     @staticmethod
