@@ -36,7 +36,9 @@ import jax.numpy as jnp
 
 from pdc_tpu.losses.pixelwise_contrastive import (
     LossConfig,
+    hinge_from_rows,
     match_loss,
+    match_loss_from_rows,
     non_match_loss_descriptor_only,
 )
 
@@ -61,27 +63,21 @@ class MatrixSampleIndices(NamedTuple):
     match_type: jnp.ndarray       # scalar int32
 
 
-def pooled_non_match_loss(
-    image_a_pred, image_b_pred, matches_a, matches_uv_b, matches_valid,
-    pool_b, pool_valid, image_width: int, M: float = 0.5,
+def pooled_non_match_loss_from_rows(
+    da, db, matches_uv_b, matches_valid, pool_b, pool_valid,
+    image_width: int, M: float = 0.5,
     use_l2_pixel_loss: bool = False, M_pixel: float = 50.0,
 ):
-    """Summed hinge over the [Nm, P] match x pool distance matrix.
+    """Summed hinge over the [Nm, P] match x pool distance matrix, on
+    pre-gathered float32 rows ``da`` [Nm, D] / ``db`` [P, D] (the composer
+    gathers each row set once and shares it across loss terms).
 
     :return: (loss_sum, num_hard_negatives) — both scaled to the reference's
-        per-sample units: each matrix row is averaged over the pool and
-        multiplied by the pool size? No — the reference reports SUM over its
-        sampled non-matches and divides by the hard-negative COUNT; we report
-        the matrix sum and matrix count, which gives the same normalized
-        value in expectation.
+        per-sample units: the reference reports SUM over its sampled
+        non-matches and divides by the hard-negative COUNT; we report the
+        matrix sum and matrix count, which gives the same normalized value
+        in expectation.
     """
-    # gathered rows upcast to fp32: loss numerics stay independent of the
-    # network compute dtype (bf16 descriptors under compute_dtype=bfloat16)
-    da = jnp.take(image_a_pred, jnp.where(matches_valid, matches_a, 0),
-                  axis=0).astype(jnp.float32)
-    db = jnp.take(image_b_pred, jnp.where(pool_valid, pool_b, 0),
-                  axis=0).astype(jnp.float32)
-
     # [Nm, P] squared distances on the MXU
     cross = jnp.dot(da, db.T, preferred_element_type=jnp.float32)
     d2 = (
@@ -117,6 +113,30 @@ def pooled_non_match_loss(
     return jnp.sum(loss_mat), num_hard
 
 
+def pooled_non_match_loss(
+    image_a_pred, image_b_pred, matches_a, matches_uv_b, matches_valid,
+    pool_b, pool_valid, image_width: int, M: float = 0.5,
+    use_l2_pixel_loss: bool = False, M_pixel: float = 50.0,
+):
+    """Index-taking wrapper around :func:`pooled_non_match_loss_from_rows`."""
+    da = _gather_rows(image_a_pred, matches_a, matches_valid)
+    db = _gather_rows(image_b_pred, pool_b, pool_valid)
+    return pooled_non_match_loss_from_rows(
+        da, db, matches_uv_b, matches_valid, pool_b, pool_valid,
+        image_width, M=M, use_l2_pixel_loss=use_l2_pixel_loss,
+        M_pixel=M_pixel,
+    )
+
+
+def _gather_rows(image_pred, indices, valid):
+    """Scatter-free descriptor gather, upcast to fp32 (loss numerics stay
+    independent of the network compute dtype)."""
+    from pdc_tpu.ops.scatter_free import take_rows
+
+    idx = jnp.where(valid, indices, 0).astype(jnp.int32)
+    return take_rows(image_pred, idx).astype(jnp.float32)
+
+
 def compose_loss_matrix(image_a_pred, image_b_pred, s: MatrixSampleIndices,
                         cfg: LossConfig, image_width: int):
     """Matrix-form analog of :func:`pdc_tpu.losses.composer.compose_loss`
@@ -141,27 +161,37 @@ def compose_loss_matrix(image_a_pred, image_b_pred, s: MatrixSampleIndices,
     is_across = s.match_type == MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE
     is_diff = s.match_type == MATCH_TYPE_DIFFERENT_OBJECT
 
-    m_loss, _ = match_loss(
-        image_a_pred, image_b_pred, s.matches_a, s.matches_b, s.matches_valid
-    )
+    # One gather per row set, shared across every term that consumes it
+    # (the match loss and both pooled hinges read the same matches_a rows;
+    # the blind set is evaluated under three different margin configs).
+    # The gathers use the scatter-free MXU backward (ops/scatter_free.py).
+    da_m = _gather_rows(image_a_pred, s.matches_a, s.matches_valid)
+    db_m = _gather_rows(image_b_pred, s.matches_b, s.matches_valid)
+    pool_masked = _gather_rows(image_b_pred, s.masked_pool_b,
+                               s.masked_pool_valid)
+    pool_bg = _gather_rows(image_b_pred, s.background_pool_b,
+                           s.background_pool_valid)
+    blind_a = _gather_rows(image_a_pred, s.blind_nm_a, s.blind_nm_valid)
+    blind_b = _gather_rows(image_b_pred, s.blind_nm_b, s.blind_nm_valid)
 
-    masked_loss, n_masked_hard = pooled_non_match_loss(
-        image_a_pred, image_b_pred, s.matches_a, s.matches_uv_b,
+    m_loss, _ = match_loss_from_rows(da_m, db_m, s.matches_valid)
+
+    masked_loss, n_masked_hard = pooled_non_match_loss_from_rows(
+        da_m, pool_masked, s.matches_uv_b,
         s.matches_valid, s.masked_pool_b, s.masked_pool_valid, image_width,
         M=cfg.M_masked,
         use_l2_pixel_loss=cfg.use_l2_pixel_loss_on_masked_non_matches,
         M_pixel=cfg.M_pixel,
     )
-    bg_loss, n_bg_hard = pooled_non_match_loss(
-        image_a_pred, image_b_pred, s.matches_a, s.matches_uv_b,
+    bg_loss, n_bg_hard = pooled_non_match_loss_from_rows(
+        da_m, pool_bg, s.matches_uv_b,
         s.matches_valid, s.background_pool_b, s.background_pool_valid,
         image_width, M=cfg.M_background,
         use_l2_pixel_loss=cfg.use_l2_pixel_loss_on_background_non_matches,
         M_pixel=cfg.M_pixel,
     )
-    blind_loss_w, n_blind_hard_w = non_match_loss_descriptor_only(
-        image_a_pred, image_b_pred, s.blind_nm_a, s.blind_nm_b,
-        s.blind_nm_valid, M=cfg.M_masked,
+    blind_loss_w, n_blind_hard_w = hinge_from_rows(
+        blind_a, blind_b, s.blind_nm_valid, M=cfg.M_masked,
     )
 
     total_hard = jnp.maximum(n_masked_hard + n_bg_hard, 1)
@@ -186,9 +216,8 @@ def compose_loss_matrix(image_a_pred, image_b_pred, s: MatrixSampleIndices,
     non_match = (masked_loss + bg_loss) / scale
     within_loss = cfg.match_loss_weight * m_loss + cfg.non_match_loss_weight * non_match
 
-    diff_blind, n_diff_hard = non_match_loss_descriptor_only(
-        image_a_pred, image_b_pred, s.blind_nm_a, s.blind_nm_b,
-        s.blind_nm_valid, M=cfg.M_background,
+    diff_blind, n_diff_hard = hinge_from_rows(
+        blind_a, blind_b, s.blind_nm_valid, M=cfg.M_background,
     )
     diff_scale = (
         jnp.maximum(n_diff_hard, 1)
@@ -197,9 +226,8 @@ def compose_loss_matrix(image_a_pred, image_b_pred, s: MatrixSampleIndices,
     )
     diff_loss = diff_blind / diff_scale
 
-    across_blind, n_across_hard = non_match_loss_descriptor_only(
-        image_a_pred, image_b_pred, s.blind_nm_a, s.blind_nm_b,
-        s.blind_nm_valid, M=cfg.M_masked, invert=True,
+    across_blind, n_across_hard = hinge_from_rows(
+        blind_a, blind_b, s.blind_nm_valid, M=cfg.M_masked, invert=True,
     )
     across_scale = (
         jnp.maximum(n_across_hard, 1)

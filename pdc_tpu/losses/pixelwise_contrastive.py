@@ -46,9 +46,40 @@ def _gather(image_pred, indices, valid):
     """Safe descriptor gather: invalid rows read index 0 but are masked out
     downstream. Gathered rows are upcast to float32 so loss numerics are
     independent of the network's compute dtype (the model returns bf16 under
-    compute_dtype=bfloat16; the gather output is tiny, so this is free)."""
+    compute_dtype=bfloat16; the gather output is tiny, so this is free).
+
+    Uses :func:`pdc_tpu.ops.scatter_free.take_rows`: the autodiff backward of
+    a plain ``jnp.take`` is a scatter-add that TPUs execute at ~0.1 us/row —
+    measured as the largest single cost of the train-step loss. take_rows
+    keeps the forward gather but computes the dense cotangent as factorized
+    one-hot matmuls on the MXU (3.5x faster at the loss's row counts)."""
+    from pdc_tpu.ops.scatter_free import take_rows
+
     idx = jnp.where(valid, indices, 0).astype(jnp.int32)
-    return jnp.take(image_pred, idx, axis=0).astype(jnp.float32)
+    return take_rows(image_pred, idx).astype(jnp.float32)
+
+
+def match_loss_from_rows(da, db, valid):
+    """:func:`match_loss` on pre-gathered float32 rows."""
+    sq = jnp.sum(jnp.square(da - db), axis=-1)
+    num = jnp.sum(valid)
+    loss = jnp.sum(jnp.where(valid, sq, 0.0)) / jnp.maximum(num, 1)
+    return loss, num
+
+
+def hinge_from_rows(da, db, valid, M: float = 0.5, invert: bool = False):
+    """(summed hinge^2, num_hard) over pre-gathered row pairs — the core of
+    :func:`non_match_loss_descriptor_only`, factored out so callers can reuse
+    one gather across several margins (the composer evaluates the blind set
+    under three different (M, invert) configurations)."""
+    dist = jnp.sqrt(jnp.maximum(jnp.sum(jnp.square(da - db), axis=-1), 1e-24))
+    if invert:
+        hinge = jnp.maximum(dist - M, 0.0)
+    else:
+        hinge = jnp.maximum(M - dist, 0.0)
+    loss_vec = jnp.where(valid, jnp.square(hinge), 0.0)
+    num_hard = jnp.sum(valid & (hinge > 0.0))
+    return jnp.sum(loss_vec), num_hard
 
 
 def match_loss(image_a_pred, image_b_pred, matches_a, matches_b, valid):
