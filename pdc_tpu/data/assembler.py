@@ -218,17 +218,28 @@ def assemble_sample(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
 
 
 def assemble_sample_matrix(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
-                           mask_b, pose_b, K, match_type, cfg: AssemblerConfig):
+                           mask_b, pose_b, K, match_type, cfg: AssemblerConfig,
+                           perm_a=None, count_a=None,
+                           perm_b=None, count_b=None):
     """Matrix-loss variant of :func:`assemble_sample`: same correspondence /
     augmentation pipeline, but non-matches are emitted as shared candidate
-    POOLS (exact inverse-CDF samples of the object mask and its complement)
-    instead of 1.5M per-match index lists. Consumed by
+    POOLS (uniform samples of the object mask and its complement) instead of
+    1.5M per-match index lists. Consumed by
     :func:`pdc_tpu.losses.matrix_loss.compose_loss_matrix`.
+
+    ``perm_*``/``count_*``: optional precomputed valid-first pixel
+    permutations of the UNaugmented masks (DeviceCache ``pixel_perm``). When
+    given, every masked sampling site becomes a single randint+gather; the
+    inverse-CDF searchsorted fallback costs ~35 ms/step at 640x480 B=8
+    (5 binary searches of 19 dependent HBM gathers each, measured on v5e).
     """
     from pdc_tpu.losses.matrix_loss import MatrixSampleIndices
+    from pdc_tpu.ops.sampling import sample_flat_from_perm
 
     H, W = depth_a.shape
+    HW = H * W
     keys = jax.random.split(key, 10)
+    use_perm = perm_a is not None
     is_within = (match_type != MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE) & (
         match_type != MATCH_TYPE_DIFFERENT_OBJECT
     ) & (match_type >= 0)
@@ -237,6 +248,8 @@ def assemble_sample_matrix(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
         depth_a, pose_a, depth_b, pose_b, K, keys[0],
         num_attempts=cfg.num_matching_attempts,
         mask_a=mask_a if cfg.sample_matches_only_off_mask else None,
+        perm_a=perm_a if cfg.sample_matches_only_off_mask else None,
+        mask_count_a=count_a,
     )
     match_valid = match_valid & is_within
 
@@ -244,41 +257,82 @@ def assemble_sample_matrix(key, rgb_a, depth_a, mask_a, pose_a, rgb_b, depth_b,
         rgb_a = random_domain_randomize_background(keys[1], rgb_a, mask_a)
         rgb_b = random_domain_randomize_background(keys[2], rgb_b, mask_b)
 
+    flip_a = flip_b = jnp.asarray(False)
     if cfg.flip_augmentation:
-        rgb_a, uv_a, (mask_a,) = random_flip_180(keys[3], rgb_a, uv_a, (mask_a,))
-        rgb_b, uv_b, (mask_b,) = random_flip_180(keys[4], rgb_b, uv_b, (mask_b,))
+        rgb_a, uv_a, (mask_a,), flip_a = random_flip_180(
+            keys[3], rgb_a, uv_a, (mask_a,), return_flag=True)
+        rgb_b, uv_b, (mask_b,), flip_b = random_flip_180(
+            keys[4], rgb_b, uv_b, (mask_b,), return_flag=True)
 
     matches_a_flat = _flatten_uv(uv_a, W)
     matches_b_flat = _flatten_uv(uv_b, W)
 
+    def perm_pool(k, lo, hi, size, flip):
+        raw, ok = sample_flat_from_perm(k, perm_b, lo, hi, size)
+        flat = jnp.where(flip, HW - 1 - raw, raw)
+        return flat, jnp.broadcast_to(ok, (size,))
+
     # shared non-match pools over the (flipped) image-b masks
-    pool_m_uv, pool_m_ok = sample_from_mask(keys[5], mask_b, cfg.masked_pool_size)
-    masked_pool = _flatten_uv(pool_m_uv, W)
-    masked_pool_valid = jnp.broadcast_to(pool_m_ok, (cfg.masked_pool_size,))
+    if use_perm:
+        masked_pool, masked_pool_valid = perm_pool(
+            keys[5], 0, count_b, cfg.masked_pool_size, flip_b)
+    else:
+        pool_m_uv, pool_m_ok = sample_from_mask(
+            keys[5], mask_b, cfg.masked_pool_size)
+        masked_pool = _flatten_uv(pool_m_uv, W)
+        masked_pool_valid = jnp.broadcast_to(
+            pool_m_ok, (cfg.masked_pool_size,))
 
     if cfg.use_image_b_mask_inv:
-        inv_mask = 1 - (mask_b != 0).astype(jnp.uint8)
-        pool_b_uv, pool_b_ok = sample_from_mask(
-            keys[6], inv_mask, cfg.background_pool_size
-        )
+        if use_perm:
+            background_pool, background_pool_valid = perm_pool(
+                keys[6], count_b, HW, cfg.background_pool_size, flip_b)
+        else:
+            inv_mask = 1 - (mask_b != 0).astype(jnp.uint8)
+            pool_b_uv, pool_b_ok = sample_from_mask(
+                keys[6], inv_mask, cfg.background_pool_size
+            )
+            background_pool = _flatten_uv(pool_b_uv, W)
+            background_pool_valid = jnp.broadcast_to(
+                pool_b_ok, (cfg.background_pool_size,))
     else:
         from pdc_tpu.ops.sampling import sample_uniform_pixels
 
         pool_b_uv = sample_uniform_pixels(keys[6], W, H, cfg.background_pool_size)
-        pool_b_ok = jnp.asarray(True)
-    background_pool = _flatten_uv(pool_b_uv, W)
-    background_pool_valid = jnp.broadcast_to(pool_b_ok, (cfg.background_pool_size,))
+        background_pool = _flatten_uv(pool_b_uv, W)
+        background_pool_valid = jnp.broadcast_to(
+            jnp.asarray(True), (cfg.background_pool_size,))
 
-    blind_a_w, blind_b_w, blind_ok_w = make_blind_non_matches(
-        keys[7], mask_a, matches_a_flat, match_valid, mask_b,
-        cfg.num_blind_samples,
-    )
-    uv_blind_a_x, ok_ax = sample_from_mask(keys[8], mask_a, cfg.num_blind_samples)
-    uv_blind_b_x, ok_bx = sample_from_mask(keys[9], mask_b, cfg.num_blind_samples)
-    blind_a = jnp.where(is_within, blind_a_w, _flatten_uv(uv_blind_a_x, W))
-    blind_b = jnp.where(is_within, blind_b_w, _flatten_uv(uv_blind_b_x, W))
-    blind_ok = jnp.where(is_within, blind_ok_w, ok_ax & ok_bx) & (match_type >= 0)
-    blind_valid = jnp.broadcast_to(blind_ok, (cfg.num_blind_samples,))
+    if use_perm:
+        from pdc_tpu.ops.correspondence import make_blind_non_matches_perm
+        from pdc_tpu.ops.sampling import sample_flat_from_perm as _sfp
+
+        blind_a_w, blind_b_w, blind_valid_w = make_blind_non_matches_perm(
+            keys[7], perm_a, count_a, flip_a, matches_a_flat, match_valid,
+            perm_b, count_b, flip_b, HW, cfg.num_blind_samples,
+        )
+        k8a, k8b = jax.random.split(keys[8])
+        raw_ax, ok_ax = _sfp(k8a, perm_a, 0, count_a, cfg.num_blind_samples)
+        raw_bx, ok_bx = _sfp(k8b, perm_b, 0, count_b, cfg.num_blind_samples)
+        blind_a_x = jnp.where(flip_a, HW - 1 - raw_ax, raw_ax)
+        blind_b_x = jnp.where(flip_b, HW - 1 - raw_bx, raw_bx)
+        blind_a = jnp.where(is_within, blind_a_w, blind_a_x)
+        blind_b = jnp.where(is_within, blind_b_w, blind_b_x)
+        blind_valid = jnp.where(
+            is_within, blind_valid_w,
+            jnp.broadcast_to(ok_ax & ok_bx, (cfg.num_blind_samples,))
+        ) & (match_type >= 0)
+    else:
+        blind_a_w, blind_b_w, blind_ok_w = make_blind_non_matches(
+            keys[7], mask_a, matches_a_flat, match_valid, mask_b,
+            cfg.num_blind_samples,
+        )
+        uv_blind_a_x, ok_ax = sample_from_mask(keys[8], mask_a, cfg.num_blind_samples)
+        uv_blind_b_x, ok_bx = sample_from_mask(keys[9], mask_b, cfg.num_blind_samples)
+        blind_a = jnp.where(is_within, blind_a_w, _flatten_uv(uv_blind_a_x, W))
+        blind_b = jnp.where(is_within, blind_b_w, _flatten_uv(uv_blind_b_x, W))
+        blind_ok = jnp.where(is_within, blind_ok_w, ok_ax & ok_bx) & (match_type >= 0)
+        blind_valid = jnp.broadcast_to(blind_ok, (cfg.num_blind_samples,))
 
     mean = jnp.asarray(cfg.image_mean, jnp.float32)
     std = jnp.asarray(cfg.image_std, jnp.float32)
@@ -371,11 +425,15 @@ def assemble_batch_matrix(key, batch, cfg: AssemblerConfig):
     matrix path (one executable for mixed batches, as in the legacy mode)."""
     B = batch["rgb_a"].shape[0]
     keys = jax.random.split(key, B)
+    has_perm = "perm_a" in batch
 
     def one(k, ra, da, ma, pa, rb, db, mb, pb, K, mt,
+            perm_a=None, count_a=None, perm_b=None, count_b=None,
             ra2=None, da2=None, ma2=None, pa2=None,
             rb2=None, db2=None, mb2=None, pb2=None, K2=None):
-        base = assemble_sample_matrix(k, ra, da, ma, pa, rb, db, mb, pb, K, mt, cfg)
+        base = assemble_sample_matrix(
+            k, ra, da, ma, pa, rb, db, mb, pb, K, mt, cfg,
+            perm_a=perm_a, count_a=count_a, perm_b=perm_b, count_b=count_b)
         if not cfg.enable_synthetic_multi_object:
             return base
         smo = assemble_synthetic_multi_object_sample_matrix(
@@ -397,12 +455,31 @@ def assemble_batch_matrix(key, batch, cfg: AssemblerConfig):
         batch["rgb_b"], batch["depth_b"], batch["mask_b"], batch["pose_b"],
         batch["K"], batch["match_type"],
     ]
+    perm_args = [
+        batch.get("perm_a"), batch.get("count_a"),
+        batch.get("perm_b"), batch.get("count_b"),
+    ] if has_perm else []
+    smo_args = [
+        batch["rgb_a_2"], batch["depth_a_2"], batch["mask_a_2"], batch["pose_a_2"],
+        batch["rgb_b_2"], batch["depth_b_2"], batch["mask_b_2"], batch["pose_b_2"],
+        batch["K_2"],
+    ] if cfg.enable_synthetic_multi_object else []
+
+    if has_perm and cfg.enable_synthetic_multi_object:
+        fn = lambda k, ra, da, ma, pa, rb, db, mb, pb, K, mt, qa, ca, qb, cb, *s: one(  # noqa: E731
+            k, ra, da, ma, pa, rb, db, mb, pb, K, mt, qa, ca, qb, cb, *s)
+        return jax.vmap(fn)(*args, *perm_args, *smo_args)
+    if has_perm:
+        return jax.vmap(
+            lambda k, ra, da, ma, pa, rb, db, mb, pb, K, mt, qa, ca, qb, cb:
+            one(k, ra, da, ma, pa, rb, db, mb, pb, K, mt, qa, ca, qb, cb)
+        )(*args, *perm_args)
     if cfg.enable_synthetic_multi_object:
-        args += [
-            batch["rgb_a_2"], batch["depth_a_2"], batch["mask_a_2"], batch["pose_a_2"],
-            batch["rgb_b_2"], batch["depth_b_2"], batch["mask_b_2"], batch["pose_b_2"],
-            batch["K_2"],
-        ]
+        return jax.vmap(
+            lambda k, ra, da, ma, pa, rb, db, mb, pb, K, mt, *s:
+            one(k, ra, da, ma, pa, rb, db, mb, pb, K, mt,
+                None, None, None, None, *s)
+        )(*args, *smo_args)
     return jax.vmap(one)(*args)
 
 

@@ -35,14 +35,24 @@ class DeviceCache:
     scene_offsets: Dict[str, int]
     scene_lengths: Dict[str, int]
     dataset: object
+    # valid-first pixel permutation per frame: pixel_perm[f, :mask_count[f]]
+    # are frame f's mask pixels (flat indices), the rest its background.
+    # Makes on-device masked sampling a single randint+gather instead of an
+    # inverse-CDF binary search (pdc_tpu.ops.sampling.sample_flat_from_perm).
+    pixel_perm: jnp.ndarray = None   # [F, H*W] int32
+    mask_count: jnp.ndarray = None   # [F] int32
 
     @staticmethod
     def from_dataset(dataset, max_bytes: int = 8 << 30,
-                     sharding=None) -> "DeviceCache":
+                     sharding=None,
+                     precompute_sample_perm: bool = True) -> "DeviceCache":
         """Upload every scene of a SpartanDataset. Raises if over budget.
 
         :param sharding: optional jax sharding for the stacks (replicate by
             default; pass a pixel/batch sharding for very large caches)
+        :param precompute_sample_perm: build the per-frame valid-first pixel
+            permutation (adds 4*H*W bytes/frame of HBM; ~2x faster train
+            step at 640x480)
         """
         rgbs, depths, masks, poses, Ks = [], [], [], [], []
         offsets, lengths = {}, {}
@@ -66,15 +76,21 @@ class DeviceCache:
             Ks.append(np.broadcast_to(s.K.astype(np.float32), (s.num_frames, 3, 3)))
 
         put = (lambda x: jax.device_put(x, sharding)) if sharding else jax.device_put
+        mask_stack = put(np.concatenate(masks))
+        perm, count = (None, None)
+        if precompute_sample_perm:
+            perm, count = build_pixel_perms(mask_stack)
         return DeviceCache(
             rgb=put(np.concatenate(rgbs)),
             depth=put(np.concatenate(depths)),
-            mask=put(np.concatenate(masks)),
+            mask=mask_stack,
             poses=np.concatenate(poses),
             Ks=np.concatenate(Ks),
             scene_offsets=offsets,
             scene_lengths=lengths,
             dataset=dataset,
+            pixel_perm=perm,
+            mask_count=count,
         )
 
     @property
@@ -147,7 +163,32 @@ class DeviceCache:
                 "pose_b" + suffix: jnp.asarray(index_batch["pose_b" + suffix]),
                 "K" + suffix: jnp.asarray(index_batch["K" + suffix]),
             })
+            if suffix == "" and self.pixel_perm is not None:
+                out.update({
+                    "perm_a": jnp.take(self.pixel_perm, fa, axis=0),
+                    "count_a": jnp.take(self.mask_count, fa, axis=0),
+                    "perm_b": jnp.take(self.pixel_perm, fb, axis=0),
+                    "count_b": jnp.take(self.mask_count, fb, axis=0),
+                })
         return out
+
+
+def build_pixel_perms(mask_stack, chunk: int = 64):
+    """Valid-first pixel permutations for a [F, H, W] mask stack (device-side,
+    chunked so the argsort working set stays bounded).
+
+    :return: (pixel_perm [F, H*W] int32, mask_count [F] int32)
+    """
+    from pdc_tpu.ops.sampling import build_pixel_perm
+
+    F = mask_stack.shape[0]
+    build = jax.jit(jax.vmap(build_pixel_perm))
+    perms, counts = [], []
+    for start in range(0, F, chunk):
+        p, c = build(mask_stack[start:start + chunk])
+        perms.append(p)
+        counts.append(c)
+    return jnp.concatenate(perms), jnp.concatenate(counts)
 
 
 def partition_scenes(dataset, num_shards: int, by_object: bool = False):
@@ -201,6 +242,8 @@ class ShardedDeviceCache:
     mask: jnp.ndarray             # [n*Fmax, H, W] uint8
     poses: jnp.ndarray            # [n*Fmax, 4, 4] float32 (same sharding)
     Ks: jnp.ndarray               # [n*Fmax, 3, 3] float32
+    pixel_perm: jnp.ndarray       # [n*Fmax, H*W] int32 (same sharding)
+    mask_count: jnp.ndarray       # [n*Fmax] int32
     scene_offsets: jnp.ndarray    # [n, Smax] int32 (local offsets)
     scene_lengths: jnp.ndarray    # [n, Smax] int32 (0 = padding)
     num_scenes: jnp.ndarray       # [n, 1] int32
@@ -290,9 +333,12 @@ class ShardedDeviceCache:
         tables_sh = NamedSharding(mesh, P(data_axis))
         put_f = lambda x: jax.device_put(x, frames_sh)  # noqa: E731
         put_t = lambda x: jax.device_put(x, tables_sh)  # noqa: E731
+        mask_dev = put_f(mask)
+        perm, count = build_pixel_perms(mask_dev)
         return ShardedDeviceCache(
-            rgb=put_f(rgb), depth=put_f(depth), mask=put_f(mask),
+            rgb=put_f(rgb), depth=put_f(depth), mask=mask_dev,
             poses=put_f(poses), Ks=put_f(Ks),
+            pixel_perm=put_f(perm), mask_count=put_f(count),
             scene_offsets=put_t(offsets), scene_lengths=put_t(lengths),
             num_scenes=put_t(nums),
             scenes_by_object=put_t(by_obj), scenes_per_object=put_t(per_obj),
@@ -337,6 +383,13 @@ def make_cached_train_step(model, tx, loss_cfg, assembler_cfg, image_width: int,
                 "pose_b" + sfx: index_batch["pose_b" + sfx],
                 "K" + sfx: index_batch["K" + sfx],
             })
+            if sfx == "" and cache.pixel_perm is not None:
+                batch.update({
+                    "perm_a": jnp.take(cache.pixel_perm, fa, axis=0),
+                    "count_a": jnp.take(cache.mask_count, fa, axis=0),
+                    "perm_b": jnp.take(cache.pixel_perm, fb, axis=0),
+                    "count_b": jnp.take(cache.mask_count, fb, axis=0),
+                })
         img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True

@@ -77,7 +77,32 @@ def pooled_non_match_loss_from_rows(
         non-matches and divides by the hard-negative COUNT; we report the
         matrix sum and matrix count, which gives the same normalized value
         in expectation.
+
+    On TPU this dispatches to the fused Pallas kernel
+    (:mod:`pdc_tpu.ops.pallas_loss`), which keeps every [Nm, P]-shaped
+    intermediate in VMEM — the XLA formulation below materializes the
+    distance/hinge/collision chain in HBM in both passes (~45 ms of the
+    133 ms train step at B=8, measured by live-vs-constant index ablation).
+    The XLA path remains the reference implementation and the off-TPU path.
     """
+    import jax
+
+    if jax.devices()[0].platform == "tpu":
+        from pdc_tpu.ops.pallas_loss import pooled_hinge
+
+        W = image_width
+        pool_u = (pool_b % W).astype(jnp.float32)
+        pool_v = (pool_b // W).astype(jnp.float32)
+        loss_sum, num_hard = pooled_hinge(
+            da, db,
+            matches_uv_b[:, 0].astype(jnp.float32),
+            matches_uv_b[:, 1].astype(jnp.float32),
+            matches_valid.astype(jnp.float32),
+            pool_u, pool_v, pool_valid.astype(jnp.float32),
+            float(M), bool(use_l2_pixel_loss), float(M_pixel),
+        )
+        return loss_sum, num_hard
+
     # [Nm, P] squared distances on the MXU
     cross = jnp.dot(da, db.T, preferred_element_type=jnp.float32)
     d2 = (

@@ -24,14 +24,20 @@ def flip_180(image, uv):
     return flipped, new_uv.astype(uv.dtype)
 
 
-def random_flip_180(key, image, uv, extra_images=()):
+def random_flip_180(key, image, uv, extra_images=(), return_flag: bool = False):
     """With probability 0.5 rotate image(s) 180 degrees and remap uv
-    (reference ``random_image_and_indices_mutation``, :19-56)."""
+    (reference ``random_image_and_indices_mutation``, :19-56).
+
+    With ``return_flag`` also returns the flip coin (bool scalar) so callers
+    can remap externally-sampled flat indices (a 180-degree rotation maps
+    flat index n to H*W-1-n)."""
     do = jax.random.uniform(key) < 0.5
     flipped, new_uv = flip_180(image, uv)
     image_out = jnp.where(do, flipped, image)
     uv_out = jnp.where(do, new_uv, jnp.asarray(uv))
     extras_out = tuple(jnp.where(do, e[::-1, ::-1], e) for e in extra_images)
+    if return_flag:
+        return image_out, uv_out, extras_out, do
     return image_out, uv_out, extras_out
 
 

@@ -43,6 +43,8 @@ def find_pixel_correspondences(
     mask_a=None,
     depth_scale: float = DEPTH_IM_SCALE,
     occlusion_margin: float = OCCLUSION_MARGIN,
+    perm_a=None,
+    mask_count_a=None,
 ):
     """Find pixel correspondences between two posed depth frames.
 
@@ -54,6 +56,10 @@ def find_pixel_correspondences(
     :param num_attempts: static — number of candidate source pixels
     :param mask_a: optional [H, W] mask; candidates are drawn uniformly from
         its nonzero entries (reference correspondence_finder.py:466-484)
+    :param perm_a, mask_count_a: optional precomputed valid-first pixel
+        permutation of mask_a (DeviceCache ``pixel_perm``): same
+        uniform-over-mask distribution, one gather instead of an inverse-CDF
+        search
     :return: (uv_a, uv_b, valid)
         uv_a: [num_attempts, 2] int32   source pixels in image a
         uv_b: [num_attempts, 2] float32 subpixel correspondence in image b
@@ -62,7 +68,13 @@ def find_pixel_correspondences(
     H, W = depth_a.shape
     k_sample, _ = jax.random.split(key)
 
-    if mask_a is None:
+    if perm_a is not None:
+        from pdc_tpu.ops.sampling import sample_flat_from_perm
+
+        flat_a, mask_ok = sample_flat_from_perm(
+            k_sample, perm_a, 0, mask_count_a, num_attempts)
+        uv_a = jnp.stack([flat_a % W, flat_a // W], axis=-1)
+    elif mask_a is None:
         uv_a = sample_uniform_pixels(k_sample, W, H, num_attempts)
         mask_ok = jnp.asarray(True)
     else:
@@ -263,3 +275,41 @@ def make_blind_non_matches(
     uv_b, ok_b = sample_from_mask(k_b, mask_b, num_samples)
     blind_b = uv_b[:, 1] * W + uv_b[:, 0]
     return blind_a, blind_b, ok_a & ok_b
+
+
+def make_blind_non_matches_perm(
+    key,
+    perm_a, count_a, flip_a,
+    matches_a_flat, matches_valid,
+    perm_b, count_b, flip_b,
+    hw: int,
+    num_samples: int,
+):
+    """:func:`make_blind_non_matches` on precomputed pixel permutations.
+
+    Samples uniformly from mask a's pixels and invalidates (per sample) any
+    draw that hit a matched pixel — conditional on validity the samples are
+    exactly uniform over the unmatched mask-a set, so the mean-normalized
+    blind loss term keeps the same expectation with a slightly smaller
+    effective sample count (the matched fraction of the mask).
+
+    ``flip_a/flip_b``: bool scalars — whether each image was 180-rotated by
+    augmentation after the permutation was built (flat index n maps to
+    hw-1-n).
+
+    :return: (blind_a [num_samples] int32, blind_b [num_samples] int32,
+        valid [num_samples] bool)
+    """
+    from pdc_tpu.ops.sampling import sample_flat_from_perm
+
+    k_a, k_b = jax.random.split(key)
+    raw_a, ok_a = sample_flat_from_perm(k_a, perm_a, 0, count_a, num_samples)
+    raw_b, ok_b = sample_flat_from_perm(k_b, perm_b, 0, count_b, num_samples)
+    blind_a = jnp.where(flip_a, hw - 1 - raw_a, raw_a)
+    blind_b = jnp.where(flip_b, hw - 1 - raw_b, raw_b)
+
+    # matched-pixel bitmap in (post-flip) image-a coordinates
+    guarded_idx = jnp.where(matches_valid, matches_a_flat, 0)
+    matched = jnp.zeros((hw,), jnp.bool_).at[guarded_idx].set(matches_valid)
+    hit = jnp.take(matched, blind_a, axis=0)
+    return blind_a, blind_b, ok_a & ok_b & ~hit

@@ -52,6 +52,39 @@ def sample_uniform_pixels(key, width: int, height: int, num_samples: int):
     return jnp.floor(uv01 * scale).astype(jnp.int32)
 
 
+def sample_flat_from_perm(key, perm_row, lo, hi, num_samples: int):
+    """Sample flat pixel indices uniformly from ``perm_row[lo:hi]`` (with
+    replacement).
+
+    ``perm_row`` is a precomputed valid-first pixel permutation of one frame
+    (see :class:`pdc_tpu.data.device_cache.DeviceCache` ``pixel_perm``):
+    entries [0, mask_count) are the mask pixels, entries [mask_count, HW) the
+    background. One uniform draw + one parallel gather replaces the
+    inverse-CDF searchsorted (19 dependent HBM gathers at 640x480 — measured
+    as the dominant cost of on-device sample assembly).
+
+    :param perm_row: [HW] int32
+    :param lo, hi: traced scalars — sample from perm_row[lo:hi]
+    :return: (idx [num_samples] int32, valid scalar bool = hi > lo)
+    """
+    n = hi - lo
+    valid = n > 0
+    r = lo + jax.random.randint(key, (num_samples,), 0, jnp.maximum(n, 1))
+    return jnp.take(perm_row, r, axis=0).astype(jnp.int32), valid
+
+
+def build_pixel_perm(mask):
+    """Valid-first pixel permutation of one mask image.
+
+    :param mask: [H, W] (nonzero = object)
+    :return: (perm [H*W] int32 — mask-pixel indices first, background after;
+        count scalar int32 — number of mask pixels)
+    """
+    flat = (jnp.asarray(mask).reshape(-1) != 0)
+    perm = jnp.argsort(~flat, stable=True).astype(jnp.int32)
+    return perm, jnp.sum(flat).astype(jnp.int32)
+
+
 def sample_flat_from_mask(key, mask_flat, num_samples: int):
     """Like :func:`sample_from_mask` but over an already-flattened mask.
 

@@ -320,7 +320,7 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     if mixed:
         type_probs = tuple((t, p) for t, p in type_probs if p > 0)
 
-    def one_step(state, key, rgb, depth, mask, poses, Ks,
+    def one_step(state, key, rgb, depth, mask, poses, Ks, perm, mcount,
                  offsets, lengths, num, by_obj, per_obj, num_obj):
         key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         k_sample, k_assemble = jax.random.split(key)
@@ -342,6 +342,10 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
             "mask_b": jnp.take(mask, fb, axis=0),
             "pose_b": jnp.take(poses, fb, axis=0),
             "K": jnp.take(Ks, fa, axis=0),
+            "perm_a": jnp.take(perm, fa, axis=0),
+            "count_a": jnp.take(mcount, fa, axis=0),
+            "perm_b": jnp.take(perm, fb, axis=0),
+            "count_b": jnp.take(mcount, fb, axis=0),
         }
         img_a, img_b, indices = assemble_batch(k_assemble, batch, assembler_cfg)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
@@ -355,12 +359,13 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
         return TrainState(step=state.step + 1, params=new_params,
                           batch_stats=new_stats, opt_state=new_opt), metrics
 
-    def multi_step(state, rgb, depth, mask, poses, Ks,
+    def multi_step(state, rgb, depth, mask, poses, Ks, perm, mcount,
                    offsets, lengths, nums, by_obj, per_obj, num_obj, key):
         # local views inside shard_map: stacks [Fmax, ...]; tables [1, ...]
         keys = jax.random.split(key, steps_per_dispatch)
         return jax.lax.scan(
             lambda c, k: one_step(c, k, rgb, depth, mask, poses, Ks,
+                                  perm, mcount,
                                   offsets[0], lengths[0], nums[0, 0],
                                   by_obj[0], per_obj[0], num_obj[0, 0]),
             state, keys,
@@ -369,7 +374,8 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     repl = P()
     sh = P(data_axis)
     specs = dict(
-        in_specs=(repl, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, repl),
+        in_specs=(repl, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh,
+                  repl),
         out_specs=(repl, repl),
     )
     try:
@@ -382,7 +388,8 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     def run(state, key):
         key = jax.device_put(key, repl_sharding)
         return jitted(state, cache.rgb, cache.depth, cache.mask, cache.poses,
-                      cache.Ks, cache.scene_offsets, cache.scene_lengths,
+                      cache.Ks, cache.pixel_perm, cache.mask_count,
+                      cache.scene_offsets, cache.scene_lengths,
                       cache.num_scenes, cache.scenes_by_object,
                       cache.scenes_per_object, cache.num_objects, key)
 
@@ -454,6 +461,13 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
             "pose_b": jnp.take(poses_dev, fb, axis=0),
             "K": jnp.take(Ks_dev, fa, axis=0),
         }
+        if cache.pixel_perm is not None:
+            batch.update({
+                "perm_a": jnp.take(cache.pixel_perm, fa, axis=0),
+                "count_a": jnp.take(cache.mask_count, fa, axis=0),
+                "perm_b": jnp.take(cache.pixel_perm, fb, axis=0),
+                "count_b": jnp.take(cache.mask_count, fb, axis=0),
+            })
         img_a, img_b, indices = assemble_batch(k_assemble, batch, assembler_cfg)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
