@@ -741,12 +741,17 @@ class DenseCorrespondenceEvaluation:
                                         img_a_idx: int, img_b_idx: int,
                                         cross_match_threshold: float = 0.75,
                                         output_path: Optional[str] = None,
-                                        num_visualize: int = 10):
-        """SIFT keypoints + ratio-test matches for one image pair, with 3D
+                                        num_visualize: int = 10,
+                                        detector: str = "sift"):
+        """SIFT/ORB keypoints + matches for one image pair, with 3D
         match-error rows and an optional match-panel PNG (reference
-        evaluation.py:1581-1687's qualitative SIFT figures, drawn with
-        matplotlib instead of cv2.drawMatchesKnn so it runs headless).
+        evaluation.py:1581-1687's qualitative SIFT figures plus the
+        matching_comparisons/visual_matching_comparisons.ipynb ORB variant,
+        drawn with matplotlib instead of cv2.drawMatchesKnn so it runs
+        headless).
 
+        :param detector: 'sift' (ratio-test knn matching) or 'orb'
+            (Hamming-distance cross-check matching, as in the notebook)
         :return: dict with 'good' (list of (uv_a, uv_b)), 'num_keypoints_a/b',
             'rows' (3D-error dicts per good match)
         """
@@ -759,19 +764,30 @@ class DenseCorrespondenceEvaluation:
         rgb_b, depth_b, mask_b, pose_b = dataset.get_rgbd_mask_pose(scene_name, img_b_idx)
         K = dataset.get_scene(scene_name).K
 
-        sift = cv2.SIFT_create()
+        if detector == "sift":
+            det = cv2.SIFT_create()
+        elif detector == "orb":
+            det = cv2.ORB_create()
+        else:
+            raise ValueError(f"detector must be sift or orb, got {detector}")
         gray_a = cv2.cvtColor(np.asarray(rgb_a), cv2.COLOR_RGB2GRAY)
         gray_b = cv2.cvtColor(np.asarray(rgb_b), cv2.COLOR_RGB2GRAY)
-        kp_a, des_a = sift.detectAndCompute(gray_a, np.asarray(mask_a))
-        kp_b, des_b = sift.detectAndCompute(gray_b, np.asarray(mask_b))
+        kp_a, des_a = det.detectAndCompute(gray_a, np.asarray(mask_a))
+        kp_b, des_b = det.detectAndCompute(gray_b, np.asarray(mask_b))
         result = {"num_keypoints_a": len(kp_a), "num_keypoints_b": len(kp_b),
                   "good": [], "rows": []}
         if des_a is None or des_b is None:
             return result
 
-        bf = cv2.BFMatcher()
-        matches = bf.knnMatch(des_a, des_b, k=2)
-        good = [m for m, n in matches if m.distance < cross_match_threshold * n.distance]
+        if detector == "orb":
+            bf = cv2.BFMatcher(cv2.NORM_HAMMING, crossCheck=True)
+            matches = sorted(bf.match(des_a, des_b), key=lambda m: m.distance)
+            good = list(matches)
+        else:
+            bf = cv2.BFMatcher()
+            matches = bf.knnMatch(des_a, des_b, k=2)
+            good = [m for m, n in matches
+                    if m.distance < cross_match_threshold * n.distance]
 
         for m in good:
             ua, va = map(int, np.round(kp_a[m.queryIdx].pt))
@@ -810,7 +826,7 @@ class DenseCorrespondenceEvaluation:
                 rgb_a, rgb_b,
                 np.asarray([g[0] for g in show]),
                 np.asarray([g[1] for g in show]),
-                ax=ax, title=f"SIFT matches ({len(good)} good / "
+                ax=ax, title=f"{detector.upper()} matches ({len(good)} good / "
                              f"{len(matches)} total)")
             fig.savefig(output_path, bbox_inches="tight")
             plt.close(fig)

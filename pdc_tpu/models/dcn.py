@@ -282,6 +282,34 @@ class DenseCorrespondenceNetwork:
         dcn.model_folder = model_folder
         return dcn
 
+    @staticmethod
+    def from_reference_model_folder(model_folder: str,
+                                    model_param_file: Optional[str] = None,
+                                    iteration: Optional[int] = None,
+                                    dtype=jnp.float32):
+        """Load a model folder written by the REFERENCE framework — the
+        torch ``%06d.pth`` checkpoints of pytorch-dense-correspondence
+        (training.py:510) — so already-trained reference networks migrate
+        to pdc_tpu without retraining. The folder contract is the same
+        (training.yaml + dataset.yaml + step-indexed checkpoints); only the
+        weight container differs.
+        """
+        training_config = load_yaml(os.path.join(model_folder, "training.yaml"))
+        config = dict(training_config["dense_correspondence_network"])
+        config["path_to_network_params_folder"] = model_folder
+
+        if model_param_file is None:
+            model_param_file = find_latest_checkpoint(model_folder, iteration,
+                                                      suffix=".pth")
+        config["model_param_filename_tail"] = os.path.basename(model_param_file)
+
+        dcn = DenseCorrespondenceNetwork.from_config(config, dtype=dtype)
+        from pdc_tpu.models.torch_import import load_reference_checkpoint
+
+        load_reference_checkpoint(dcn, model_param_file)
+        dcn.model_folder = model_folder
+        return dcn
+
     # -- persistence -----------------------------------------------------------
 
     def save_checkpoint(self, path: str):
@@ -294,15 +322,17 @@ class DenseCorrespondenceNetwork:
             self.variables = flax.serialization.from_bytes(self.variables, f.read())
 
 
-def find_latest_checkpoint(model_folder: str, iteration: Optional[int] = None) -> str:
-    """Find a ``%06d.ckpt`` in a model folder (reference
+def find_latest_checkpoint(model_folder: str, iteration: Optional[int] = None,
+                           suffix: str = ".ckpt") -> str:
+    """Find a ``%06d.ckpt`` (or ``.pth``) in a model folder (reference
     utils.py:279-309 get_model_param_file_from_directory)."""
     if iteration is not None:
-        path = os.path.join(model_folder, "%06d.ckpt" % iteration)
+        path = os.path.join(model_folder, "%06d" % iteration + suffix)
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         return path
-    files = sorted(glob.glob(os.path.join(model_folder, "*.ckpt")))
+    files = sorted(f for f in glob.glob(os.path.join(model_folder, "*" + suffix))
+                   if not f.endswith(".opt"))
     if not files:
-        raise FileNotFoundError(f"no .ckpt files in {model_folder}")
+        raise FileNotFoundError(f"no {suffix} files in {model_folder}")
     return files[-1]

@@ -106,3 +106,69 @@ def load_pretrained_backbone(dcn, pth_path: str):
         sd = sd.state_dict()
     dcn.variables = convert_torchvision_resnet(sd, dcn.variables)
     return dcn
+
+
+def convert_reference_dcn(state_dict: Mapping, variables: Dict) -> Dict:
+    """Import a checkpoint **trained by the reference framework** — the
+    ``%06d.pth`` files its trainer writes (``training.py:510``:
+    ``torch.save(dcn.state_dict(), ...)``) — so networks trained with
+    pytorch-dense-correspondence run unchanged in pdc_tpu.
+
+    Key layout handled (``dense_correspondence_network.py:425-433``):
+
+      * new style: ``fcn.resnet34_8s.<torchvision name>`` (the DCN module
+        wraps the pytorch-segmentation-detection ``Resnet34_8s``, whose
+        single child is a torchvision resnet with ``fc`` swapped for a 1x1
+        ``Conv2d`` descriptor head)
+      * old style: ``resnet34_8s.<torchvision name>`` (``fcn.state_dict()``)
+      * any ``module.`` DataParallel prefix is stripped
+
+    The ``fc`` conv becomes our ``head`` (OIHW [D,512,1,1] -> HWIO
+    [1,1,512,D]); everything else goes through
+    :func:`convert_torchvision_resnet`.
+    """
+    import re
+
+    sd = {k: np.asarray(getattr(v, "numpy", lambda: v)())
+          for k, v in state_dict.items()}
+
+    def strip(prefix):
+        nonlocal sd
+        if all(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()}
+
+    strip("module.")
+    strip("fcn.")
+    # the single wrapper child, e.g. 'resnet34_8s.' / 'resnet101_8s.'
+    heads = {k.split(".", 1)[0] for k in sd}
+    if len(heads) == 1 and re.fullmatch(r"resnet\d+_\d+s", next(iter(heads))):
+        strip(next(iter(heads)) + ".")
+
+    if "conv1.weight" not in sd:
+        raise ValueError(
+            "state dict does not look like a reference DCN checkpoint "
+            f"(keys start with {sorted({k.split('.', 1)[0] for k in sd})[:5]})")
+
+    fc_w = sd.pop("fc.weight", None)
+    fc_b = sd.pop("fc.bias", None)
+    out = convert_torchvision_resnet(sd, variables)
+    if fc_w is not None:
+        w = _conv(fc_w)  # [1, 1, 512, D]
+        head = dict(out["params"]["head"])
+        assert head["kernel"].shape == w.shape, (head["kernel"].shape, w.shape)
+        head["kernel"] = w
+        if fc_b is not None:
+            head["bias"] = np.asarray(fc_b)
+        out["params"]["head"] = head
+    return out
+
+
+def load_reference_checkpoint(dcn, pth_path: str):
+    """Load a reference-trained ``%06d.pth`` into a DCN in place."""
+    import torch
+
+    sd = torch.load(pth_path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    dcn.variables = convert_reference_dcn(sd, dcn.variables)
+    return dcn

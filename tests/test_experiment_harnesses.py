@@ -67,3 +67,61 @@ def test_training_benchmark_harness(tmp_path):
     assert "single_object" in summary and "class_consistent" in summary
     assert summary["single_object"]["across_object_mean_distance"] is not None
     assert set(summary["class_consistent"]["per_keypoint"]) == {"center", "edge"}
+
+
+@pytest.mark.slow
+def test_paper_figures_harness(tmp_path):
+    """descriptor_dim figure end to end (paper_figures/multi_object_descriptor_dim.ipynb)."""
+    import paper_figures
+
+    old_argv = sys.argv
+    sys.argv = ["x", "--figure", "descriptor_dim", "--dims", "3,5",
+                "--steps", "4", "--width", "64", "--height", "48",
+                "--num_eval_pairs", "1", "--num_matches_per_pair", "10",
+                "--logging_dir", str(tmp_path)]
+    try:
+        paper_figures.main()
+    finally:
+        sys.argv = old_argv
+    summary = json.load(open(tmp_path / "summary.json"))
+    assert set(summary) == {"D3", "D5"}
+    for v in summary.values():
+        assert "pck_at_5px" in v
+    # registry-driven overlay + the dim curve figure
+    assert os.path.getsize(tmp_path / "comparison_test.png") > 0
+    assert os.path.getsize(tmp_path / "pck_vs_dim.png") > 0
+    # trained descriptor dims really differ
+    from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+
+    dcn = DenseCorrespondenceNetwork.from_model_folder(str(tmp_path / "D5"))
+    assert dcn.descriptor_dimension == 5
+
+
+def test_bag_of_tricks_variants():
+    from paper_figures import variant_configs
+
+    variants = dict(variant_configs("bag_of_tricks", []))
+    assert variants["no_domain_randomization"] == {
+        "training.domain_randomize": False}
+    assert variants["normalized_descriptors"] == {
+        "dense_correspondence_network.normalize": True}
+    assert "no_flip_augmentation" in variants and "baseline" in variants
+
+
+def test_orb_matching_comparison(tmp_path):
+    """ORB cross-check matching variant (visual_matching_comparisons.ipynb)."""
+    cv2 = pytest.importorskip("cv2")
+    from pdc_tpu.data.dataset import SpartanDataset
+    from pdc_tpu.evaluation.evaluate import DenseCorrespondenceEvaluation as DCE
+
+    ds = SpartanDataset.make_synthetic(num_scenes=1, width=128, height=96,
+                                       num_frames=4, object_radius=0.3)
+    name = ds.get_random_scene_name()
+    png = str(tmp_path / "orb.png")
+    r = DCE.single_image_pair_sift_analysis(ds, name, 0, 1, output_path=png,
+                                            detector="orb")
+    assert r["num_keypoints_a"] >= 0
+    if r["good"]:
+        assert os.path.getsize(png) > 0
+    with pytest.raises(ValueError):
+        DCE.single_image_pair_sift_analysis(ds, name, 0, 1, detector="surf")
