@@ -9,7 +9,9 @@ Timing notes:
     that scalar — ``block_until_ready`` alone does not reliably block through
     the axon TPU tunnel and reports physically-impossible numbers
   * bfloat16 compute, batch 256 (throughput-optimal on a single chip; the
-    descriptor image stays bf16 through the x8 resize)
+    descriptor image stays bf16 through the x8 resize), 8 microbatches per
+    dispatch via lax.scan — the steady-state serving shape (a per-iteration
+    counter offset keeps XLA from hoisting the forward out of the loop)
   * MFU context printed to stderr: forward = 200.2 GFLOPs/image at 640x480
     (XLA cost analysis), v5e peak ~197 bf16 TFLOPS
 
@@ -50,10 +52,20 @@ def main():
     x = jnp.zeros((B, H, W, 3), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), x, train=False)
 
+    # Steady-state serving shape: K microbatches per dispatch (lax.scan), so
+    # the measurement reflects device throughput rather than per-call host
+    # dispatch latency (which a pipelined server overlaps with compute; the
+    # axon tunnel serializes it at ~0.3 s/call). The scalar fetch at the end
+    # is still a hard sync across all K batches.
+    K = 8 if on_tpu else 1
+
     @jax.jit
     def fwd_sum(variables, imgs):
-        out = model.apply(variables, imgs, train=False)
-        return jnp.sum(out)
+        def body(c, _):
+            out = model.apply(variables, imgs + c, train=False)
+            return c + jnp.float32(1e-6), jnp.sum(out.astype(jnp.float32))
+        _, sums = jax.lax.scan(body, jnp.float32(0.0), None, length=K)
+        return jnp.sum(sums)
 
     # warmup / compile (scalar fetch = hard sync)
     float(fwd_sum(variables, x))
@@ -66,7 +78,7 @@ def main():
         float(fwd_sum(variables, imgs))
         times.append(time.perf_counter() - t0)
 
-    images_per_sec = B / min(times)
+    images_per_sec = B * K / min(times)
     if on_tpu:
         import sys
 
