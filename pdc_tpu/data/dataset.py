@@ -161,6 +161,14 @@ class SpartanDataset:
         elif config is not None and "single_object_scenes_config_files" in config:
             self._composite_config = config
 
+    def reset_seed(self, seed: int = 1):
+        """Re-seed the host-side sampling RNGs — the analog of the
+        reference's ``utils.reset_random_seed()`` (utils.py:332-336), which
+        every quantitative-eval entry point calls (evaluation.py:259, 310,
+        356, 420, 483, 2171, 2332) so eval CSVs are reproducible."""
+        self._rng = pyrandom.Random(seed)
+        self._np_rng = np.random.RandomState(seed)
+
     # -- construction ---------------------------------------------------------
 
     def _registry(self, mode: str) -> dict:

@@ -11,6 +11,7 @@ tooling is drop-in compatible.
 
 from __future__ import annotations
 
+import functools
 import logging
 import os
 from typing import Optional
@@ -174,6 +175,51 @@ def _match_statistics_device(depth_a, depth_b, mask_b, uv_a, uv_b,
         "uv_b_pred": uv_pred,
         "uv_b_pred_masked": uv_pred_masked,
     }
+
+
+@functools.lru_cache(maxsize=8)
+def _fused_sweep_program(num_matches: int, padded_num_attempts: int):
+    """Jitted scan-over-pairs program for the quantitative sweep: per pair,
+    correspondence generation -> stable-argsort compaction of the first
+    ``num_matches`` valid candidates -> the [HW, N] match statistics. Cached
+    per (num_matches, padded_num_attempts) so repeated sweeps reuse the
+    executable."""
+
+    @jax.jit
+    def run(res_stack, xs):
+        def body(carry, x):
+            H, W = x["depth_a"].shape
+            uv_a, uv_b, valid = find_pixel_correspondences(
+                x["depth_a"], x["pose_a"], x["depth_b"], x["pose_b"],
+                x["K"], x["key"], num_attempts=padded_num_attempts,
+                mask_a=x["mask_a"])
+            # first `num_matches` valid candidates, original order (the
+            # device analog of np.where(valid)[0][:num_matches])
+            order = jnp.argsort(jnp.logical_not(valid), stable=True)
+            keep = order[:num_matches]
+            gt_valid = jnp.take(valid, keep)
+            uv_a_k = jnp.take(uv_a, keep, axis=0)
+            uv_a_k = jnp.stack([jnp.clip(uv_a_k[:, 0], 0, W - 1),
+                                jnp.clip(uv_a_k[:, 1], 0, H - 1)],
+                               axis=-1).astype(jnp.int32)
+            uv_b_k = jnp.take(uv_b, keep, axis=0)
+            uv_b_int = jnp.stack([
+                jnp.clip(jnp.round(uv_b_k[:, 0]), 0, W - 1),
+                jnp.clip(jnp.round(uv_b_k[:, 1]), 0, H - 1),
+            ], axis=-1).astype(jnp.int32)
+            stats = dict(_match_statistics_device(
+                x["depth_a"], x["depth_b"], x["mask_b"], uv_a_k, uv_b_int,
+                x["pose_a"], x["pose_b"],
+                res_stack[x["ia"]], res_stack[x["ib"]], x["K"]))
+            stats.pop("uv_b_pred", None)
+            stats.pop("uv_b_pred_masked", None)
+            stats["gt_valid"] = gt_valid
+            return carry, stats
+
+        _, ys = jax.lax.scan(body, 0, xs)
+        return ys
+
+    return run
 
 
 class DenseCorrespondenceEvaluation:
@@ -396,15 +442,20 @@ class DenseCorrespondenceEvaluation:
     @staticmethod
     def evaluate_network_quantitative(
         dcn, dataset, num_image_pairs: int = 100, num_matches_per_image_pair: int = 100,
-        seed: int = 1, forward_batch_size: int = 16,
+        seed: int = 1, forward_batch_size: int = 16, fused: bool = True,
     ):
         """Sample image pairs (pose-difference rejection) and accumulate the
         per-match DataFrame (reference evaluate_network, evaluation.py:475-527
         + get_image_pair_list :174-203). Forwards run batched over the unique
-        images of the sweep."""
+        images of the sweep; with ``fused`` (default) the whole sweep's
+        correspondence generation + statistics run as ONE device dispatch
+        (lax.scan over pairs) and one fetch — the per-pair host loop pays
+        2 dispatch round trips per pair, which dominates wall time on a
+        remote TPU runtime."""
         import pandas as pd
 
         DCE = DenseCorrespondenceEvaluation
+        dataset.reset_seed(seed)  # reference reset_random_seed at eval entry
         key = jax.random.PRNGKey(seed)
         pair_list = []
         for p in range(num_image_pairs):
@@ -422,6 +473,10 @@ class DenseCorrespondenceEvaluation:
             [(s, i) for s, ia, ib, _ in pair_list for i in (ia, ib)],
             batch_size=forward_batch_size)
 
+        if fused and pair_list:
+            return DCE._quantitative_sweep_fused(
+                dataset, pair_list, images, num_matches_per_image_pair)
+
         rows = []
         for scene_name, idx_a, idx_b, sub in pair_list:
             rows.extend(
@@ -432,6 +487,75 @@ class DenseCorrespondenceEvaluation:
                     res_b=images[(scene_name, idx_b)],
                 )
             )
+        return pd.DataFrame(rows, columns=EVAL_COLUMNS)
+
+    @staticmethod
+    def _quantitative_sweep_fused(dataset, pair_list, images,
+                                  num_matches: int,
+                                  padded_num_attempts: int = 2000):
+        """Whole-sweep statistics in one device program: per pair, generate
+        correspondences, compact the first ``num_matches`` valid ones with a
+        stable argsort (replacing the host-side ``np.where`` between the two
+        dispatches of the per-pair path), and run the [HW, N] statistics —
+        all under one ``lax.scan``, fetched in one host round trip. Row
+        semantics identical to the per-pair path (verified by
+        tests/test_evaluation_fused.py)."""
+        import pandas as pd
+
+        # stack unique descriptor images once; per-pair gathers by index
+        unique = sorted({(s, i) for s, ia, ib, _ in pair_list
+                         for i in (ia, ib)})
+        kidx = {k: j for j, k in enumerate(unique)}
+        res_stack = jnp.stack([jnp.asarray(images[k]) for k in unique])
+
+        depths_a, masks_a, depths_b, masks_b = [], [], [], []
+        poses_a, poses_b, Ks, subs, ias, ibs = [], [], [], [], [], []
+        for scene_name, idx_a, idx_b, sub in pair_list:
+            _, d_a, m_a, p_a = dataset.get_rgbd_mask_pose(scene_name, idx_a)
+            _, d_b, m_b, p_b = dataset.get_rgbd_mask_pose(scene_name, idx_b)
+            depths_a.append(np.asarray(d_a))
+            masks_a.append(np.asarray(m_a))
+            depths_b.append(np.asarray(d_b))
+            masks_b.append(np.asarray(m_b))
+            poses_a.append(np.asarray(p_a, np.float32))
+            poses_b.append(np.asarray(p_b, np.float32))
+            Ks.append(np.asarray(dataset.get_scene(scene_name).K, np.float32))
+            subs.append(sub)
+            ias.append(kidx[(scene_name, idx_a)])
+            ibs.append(kidx[(scene_name, idx_b)])
+
+        xs = {
+            "depth_a": jnp.asarray(np.stack(depths_a)),
+            "mask_a": jnp.asarray(np.stack(masks_a)),
+            "depth_b": jnp.asarray(np.stack(depths_b)),
+            "mask_b": jnp.asarray(np.stack(masks_b)),
+            "pose_a": jnp.asarray(np.stack(poses_a)),
+            "pose_b": jnp.asarray(np.stack(poses_b)),
+            "K": jnp.asarray(np.stack(Ks)),
+            "key": jnp.stack([jnp.asarray(s) for s in subs]),
+            "ia": jnp.asarray(ias, jnp.int32),
+            "ib": jnp.asarray(ibs, jnp.int32),
+        }
+        run = _fused_sweep_program(num_matches, padded_num_attempts)
+        stats_np = jax.device_get(run(res_stack, xs))
+
+        rows = []
+        for p, (scene_name, idx_a, idx_b, _) in enumerate(pair_list):
+            valid_idx = np.where(stats_np["gt_valid"][p])[0]
+            if valid_idx.size == 0:
+                logger.info("no matches found for pair (%s, %d, %d)",
+                            scene_name, idx_a, idx_b)
+            for i in valid_idx:
+                row = {c: None for c in EVAL_COLUMNS}
+                row.update(
+                    scene_name=scene_name, img_a_idx=idx_a, img_b_idx=idx_b,
+                    is_valid=bool(stats_np["is_valid"][p, i]),
+                    is_valid_masked=bool(stats_np["is_valid_masked"][p, i]),
+                )
+                for c in EVAL_COLUMNS:
+                    if c in stats_np and row[c] is None:
+                        row[c] = float(stats_np[c][p, i])
+                rows.append(row)
         return pd.DataFrame(rows, columns=EVAL_COLUMNS)
 
     @staticmethod
@@ -490,6 +614,7 @@ class DenseCorrespondenceEvaluation:
         from pdc_tpu.ops.sampling import sample_from_mask
 
         rows = []
+        dataset.reset_seed(seed)  # reference reset_random_seed at eval entry
         key = jax.random.PRNGKey(seed)
         for p in range(num_image_pairs):
             pair = dataset.sample_pair(match_type=MATCH_TYPE_DIFFERENT_OBJECT)
@@ -845,6 +970,7 @@ class DenseCorrespondenceEvaluation:
         sift = cv2.SIFT_create()
         bf = cv2.BFMatcher()
         rows = []
+        dataset.reset_seed(seed)  # reference reset_random_seed at eval entry
         for _ in range(num_image_pairs):
             scene_name = dataset.get_random_scene_name()
             scene = dataset.get_scene(scene_name)
