@@ -45,3 +45,34 @@ def compute_image_mean_and_std_dev(dataset, num_images: int = 100,
     mean = s1 / n
     var = np.maximum(s2 / n - mean**2, 0.0)
     return mean, np.sqrt(var)
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    """CLI analog of the reference's ``compute_dataset_img_mean.ipynb``:
+    print the per-channel RGB mean/std of a dataset (the values to put in a
+    new dataset's normalization config)."""
+    import argparse
+    import os
+
+    import yaml
+
+    from pdc_tpu.data.dataset import SpartanDataset
+    from pdc_tpu.utils.yaml_io import load_yaml
+
+    p = argparse.ArgumentParser()
+    p.add_argument("--config", required=True, help="composite dataset yaml")
+    p.add_argument("--data_dir", default=os.environ.get("DC_DATA_DIR", "."))
+    p.add_argument("--num_images", type=int, default=100)
+    args = p.parse_args(argv)
+
+    ds = SpartanDataset(config=load_yaml(args.config), data_dir=args.data_dir,
+                        config_dir=os.path.dirname(args.config))
+    mean, std = compute_image_mean_and_std_dev(ds, num_images=args.num_images)
+    print(yaml.safe_dump({"image_normalization": {
+        "mean": [round(float(m), 6) for m in mean],
+        "std_dev": [round(float(s), 6) for s in std],
+    }}))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
