@@ -222,6 +222,31 @@ def _fused_sweep_program(num_matches: int, padded_num_attempts: int):
     return run
 
 
+@functools.lru_cache(maxsize=8)
+def _fused_across_object_program(num_queries: int):
+    """Jitted scan-over-pairs program for the across-object sweep: sample
+    ``num_queries`` on-object pixels of image a, masked best-match distances
+    in image b."""
+    from pdc_tpu.ops.matching import best_matches_batch
+    from pdc_tpu.ops.sampling import sample_from_mask
+
+    @jax.jit
+    def run(res_stack, xs):
+        def body(carry, x):
+            uv_a, ok = sample_from_mask(x["key"], x["mask_a"], num_queries)
+            res_a = res_stack[x["ia"]].astype(jnp.float32)
+            queries = res_a[uv_a[:, 1], uv_a[:, 0], :]
+            _, best = best_matches_batch(
+                queries, res_stack[x["ib"]].astype(jnp.float32),
+                mask=x["mask_b"])
+            return carry, {"best": best, "ok": ok}
+
+        _, ys = jax.lax.scan(body, 0, xs)
+        return ys
+
+    return run
+
+
 class DenseCorrespondenceEvaluation:
     """Top-level evaluation orchestrator (reference evaluation.py:89).
 
@@ -603,7 +628,8 @@ class DenseCorrespondenceEvaluation:
 
     @staticmethod
     def evaluate_network_across_objects(dcn, dataset, num_image_pairs: int = 100,
-                                        num_queries: int = 100, seed: int = 1):
+                                        num_queries: int = 100, seed: int = 1,
+                                        fused: bool = True):
         """Distribution of best-match descriptor distances between DIFFERENT
         objects (reference :304-337, :976-1003): for random on-object pixels
         of object A, the best masked match distance in an image of object B."""
@@ -616,9 +642,62 @@ class DenseCorrespondenceEvaluation:
         rows = []
         dataset.reset_seed(seed)  # reference reset_random_seed at eval entry
         key = jax.random.PRNGKey(seed)
+        pairs, subs = [], []
         for p in range(num_image_pairs):
-            pair = dataset.sample_pair(match_type=MATCH_TYPE_DIFFERENT_OBJECT)
+            pairs.append(dataset.sample_pair(match_type=MATCH_TYPE_DIFFERENT_OBJECT))
             key, sub = jax.random.split(key)
+            subs.append(sub)
+
+        if fused and hasattr(dcn, "forward") and pairs:
+            # whole sweep in one scan dispatch (query sampling + masked
+            # best-match per pair), one fetch — the per-pair loop pays ~4
+            # host round trips per pair
+            unique, rgb_of = [], {}
+            for pair in pairs:
+                for side in ("a", "b"):
+                    k = (pair.metadata[f"scene_name_{side}"],
+                         pair.metadata[f"image_{side}_idx"])
+                    if k not in rgb_of:
+                        rgb_of[k] = getattr(pair, f"rgb_{side}")
+                        unique.append(k)
+            kidx = {k: j for j, k in enumerate(unique)}
+            res_chunks = []
+            for start in range(0, len(unique), 16):
+                chunk = unique[start:start + 16]
+                imgs = np.stack([dataset.rgb_image_to_tensor(rgb_of[k])
+                                 for k in chunk])
+                res_chunks.append(dcn.forward(jnp.asarray(imgs)))
+            res_stack = jnp.concatenate(res_chunks, axis=0)
+
+            xs = {
+                "mask_a": jnp.asarray(np.stack([np.asarray(p.mask_a) for p in pairs])),
+                "mask_b": jnp.asarray(np.stack([np.asarray(p.mask_b) for p in pairs])),
+                "key": jnp.stack([jnp.asarray(s) for s in subs]),
+                "ia": jnp.asarray([kidx[(p.metadata["scene_name_a"],
+                                         p.metadata["image_a_idx"])] for p in pairs],
+                                  jnp.int32),
+                "ib": jnp.asarray([kidx[(p.metadata["scene_name_b"],
+                                         p.metadata["image_b_idx"])] for p in pairs],
+                                  jnp.int32),
+            }
+            run = _fused_across_object_program(num_queries)
+            out = jax.device_get(run(res_stack, xs))
+            for p, pair in enumerate(pairs):
+                if not bool(out["ok"][p]):
+                    continue
+                for b in out["best"][p]:
+                    rows.append({
+                        "scene_name_a": pair.metadata["scene_name_a"],
+                        "scene_name_b": pair.metadata["scene_name_b"],
+                        "img_a_idx": pair.metadata["image_a_idx"],
+                        "img_b_idx": pair.metadata["image_b_idx"],
+                        "object_id_a": pair.metadata.get("object_id_a"),
+                        "object_id_b": pair.metadata.get("object_id_b"),
+                        "norm_diff_descriptor_best_match": float(b),
+                    })
+            return pd.DataFrame(rows, columns=ACROSS_OBJECT_COLUMNS)
+
+        for pair, sub in zip(pairs, subs):
             uv_a, ok = sample_from_mask(sub, jnp.asarray(pair.mask_a), num_queries)
             if not bool(ok):
                 continue
@@ -645,24 +724,29 @@ class DenseCorrespondenceEvaluation:
     @staticmethod
     def compute_descriptor_statistics_on_dataset(dcn, dataset, num_images: int = 100,
                                                  save_to_file: bool = True,
-                                                 filename: Optional[str] = None):
+                                                 filename: Optional[str] = None,
+                                                 batch_size: int = 16):
         """Per-channel min/max/mean over whole images and over masks, saved
-        as descriptor_statistics.yaml (reference evaluation.py:2156-2304)."""
+        as descriptor_statistics.yaml (reference evaluation.py:2156-2304).
+        Forwards + reductions run ``batch_size`` images per dispatch (the
+        per-image loop cost ~3 host round trips per image)."""
 
         @jax.jit
-        def stats_one(res, mask):
-            D = res.shape[-1]
-            flat = res.reshape(-1, D)
-            m = (mask.reshape(-1) != 0)
-            n_mask = jnp.maximum(jnp.sum(m), 1)
-            masked_sum = jnp.sum(jnp.where(m[:, None], flat, 0.0), axis=0)
+        def stats_batch(res, mask):
+            # res [B, H, W, D], mask [B, H, W] -> per-image reductions
+            B, H, W, D = res.shape
+            flat = res.reshape(B, H * W, D).astype(jnp.float32)
+            m = (mask.reshape(B, H * W) != 0)
+            n_mask = jnp.maximum(jnp.sum(m, axis=1), 1)
+            masked_sum = jnp.sum(jnp.where(m[..., None], flat, 0.0), axis=1)
             big = jnp.float32(1e9)
-            masked_min = jnp.min(jnp.where(m[:, None], flat, big), axis=0)
-            masked_max = jnp.max(jnp.where(m[:, None], flat, -big), axis=0)
+            masked_min = jnp.min(jnp.where(m[..., None], flat, big), axis=1)
+            masked_max = jnp.max(jnp.where(m[..., None], flat, -big), axis=1)
             return (
-                (jnp.min(flat, axis=0), jnp.max(flat, axis=0), jnp.mean(flat, axis=0)),
-                (masked_min, masked_max, masked_sum / n_mask),
-                jnp.sum(m) > 0,
+                (jnp.min(flat, axis=1), jnp.max(flat, axis=1),
+                 jnp.mean(flat, axis=1)),
+                (masked_min, masked_max, masked_sum / n_mask[:, None]),
+                jnp.sum(m, axis=1) > 0,
             )
 
         acc = {
@@ -670,21 +754,38 @@ class DenseCorrespondenceEvaluation:
             "mask_image": {"min": None, "max": None, "mean": None},
         }
         count = 0
+        draws = []
         for i in range(num_images):
             scene_name = dataset.get_random_scene_name()
             idx = dataset.get_random_image_index(scene_name)
-            rgb, _, mask, _ = dataset.get_rgbd_mask_pose(scene_name, idx)
-            res = dcn.forward_on_img(rgb)
-            entire, masked, mask_ok = stats_one(res, jnp.asarray(mask))
-            if not bool(mask_ok):
-                continue
-            count += 1
-            for dst, (mn, mx, mean) in (("entire_image", entire), ("mask_image", masked)):
-                d = acc[dst]
-                mn, mx, mean = map(np.asarray, (mn, mx, mean))
-                d["min"] = mn if d["min"] is None else np.minimum(d["min"], mn)
-                d["max"] = mx if d["max"] is None else np.maximum(d["max"], mx)
-                d["mean"] = mean if d["mean"] is None else d["mean"] + mean
+            draws.append((scene_name, idx))
+
+        batched = hasattr(dcn, "forward")
+        for start in range(0, len(draws), batch_size if batched else 1):
+            chunk = draws[start:start + batch_size] if batched else [draws[start]]
+            rgbs, masks = [], []
+            for scene_name, idx in chunk:
+                rgb, _, mask, _ = dataset.get_rgbd_mask_pose(scene_name, idx)
+                rgbs.append(dataset.rgb_image_to_tensor(rgb) if batched
+                            else rgb)
+                masks.append(np.asarray(mask))
+            if batched:
+                res = dcn.forward(jnp.asarray(np.stack(rgbs)))
+            else:
+                res = jnp.stack([jnp.asarray(dcn.forward_on_img(r))
+                                 for r in rgbs])
+            entire, masked, mask_ok = jax.device_get(
+                stats_batch(res, jnp.asarray(np.stack(masks))))
+            for j in range(len(chunk)):
+                if not bool(mask_ok[j]):
+                    continue
+                count += 1
+                for dst, (mn, mx, mean) in (("entire_image", entire),
+                                            ("mask_image", masked)):
+                    d = acc[dst]
+                    d["min"] = mn[j] if d["min"] is None else np.minimum(d["min"], mn[j])
+                    d["max"] = mx[j] if d["max"] is None else np.maximum(d["max"], mx[j])
+                    d["mean"] = mean[j] if d["mean"] is None else d["mean"] + mean[j]
 
         stats = {}
         for k, v in acc.items():

@@ -65,3 +65,24 @@ def test_eval_reproducible_across_calls(setup):
     df1 = DCE.evaluate_network_quantitative(dcn, ds, **kwargs)
     df2 = DCE.evaluate_network_quantitative(dcn, ds, **kwargs)
     pd.testing.assert_frame_equal(df1, df2)
+
+
+def test_across_objects_fused_matches_loop():
+    ds = SpartanDataset.make_synthetic(num_scenes=2, num_objects=2,
+                                       width=W, height=H, num_frames=4,
+                                       object_radius=0.3)
+    dcn = DenseCorrespondenceNetwork.from_config({
+        "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+        "descriptor_dimension": 3, "image_width": W, "image_height": H})
+    kwargs = dict(num_image_pairs=3, num_queries=16, seed=2)
+    df_loop = DCE.evaluate_network_across_objects(dcn, ds, fused=False, **kwargs)
+    df_fused = DCE.evaluate_network_across_objects(dcn, ds, fused=True, **kwargs)
+    assert len(df_fused) == len(df_loop) > 0
+    for c in ("scene_name_a", "scene_name_b", "object_id_a", "object_id_b"):
+        assert (df_fused[c] == df_loop[c]).all(), c
+    # batched vs single-image forwards reassociate conv reductions — allow
+    # fp noise, not semantic drift
+    np.testing.assert_allclose(
+        df_fused["norm_diff_descriptor_best_match"].to_numpy(),
+        df_loop["norm_diff_descriptor_best_match"].to_numpy(),
+        rtol=2e-3, atol=1e-4)
