@@ -557,7 +557,8 @@ class DenseCorrespondenceTraining:
                 self._materialize_metrics()
                 self.save_network(it)
 
-            if eval_step is not None and it % test_rate == 0 and it > 5:
+            if (eval_step is not None and test_rate > 0
+                    and it % test_rate == 0 and it > 5):
                 test_metrics = []
                 for _ in range(int(t.get("test_loss_num_iterations", 50)) // max(self._batch_size, 1) or 1):
                     key, ek = jax.random.split(key)
