@@ -205,3 +205,33 @@ def test_resnet50_bottleneck_and_import():
     np.testing.assert_allclose(w_torch, w_flax)
     out2 = m.apply(v2, x, train=False)
     assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+@pytest.mark.slow
+def test_unet_trains_end_to_end(tmp_path):
+    """UNet backbone through the real trainer (reference get_unet,
+    dense_correspondence_network.py:347-356): loss finite, folder reloads."""
+    import copy
+
+    from pdc_tpu.data.dataset import SpartanDataset
+    from pdc_tpu.training.train import DenseCorrespondenceTraining
+
+    ds = SpartanDataset.make_synthetic(num_scenes=1, width=64, height=48,
+                                       num_frames=4, object_radius=0.3)
+    cfg = copy.deepcopy(DenseCorrespondenceTraining.load_default_config())
+    t = cfg["training"]
+    t.update(num_iterations=3, batch_size=1, num_matching_attempts=128,
+             num_non_matches_per_match=5, save_rate=1000, logging_rate=1000,
+             logging_dir=str(tmp_path), logging_dir_name="unet_net")
+    net = cfg["dense_correspondence_network"]
+    net.update(image_width=64, image_height=48)
+    net["backbone"] = {"model_class": "Unet"}
+    trainer = DenseCorrespondenceTraining(config=cfg, dataset=ds)
+    folder = trainer.run()
+    losses = trainer._logging_dict["train"]["loss"]
+    assert losses and all(np.isfinite(losses))
+
+    dcn = DenseCorrespondenceNetwork.from_model_folder(folder)
+    res = dcn.forward_on_img(ds.get_scene(ds.get_random_scene_name()).rgb[0])
+    assert res.shape == (48, 64, 3)
+    assert np.isfinite(np.asarray(res)).all()
