@@ -837,12 +837,28 @@ class DenseCorrespondenceEvaluation:
             )
 
         key = jax.random.PRNGKey(seed)
-        totals = np.zeros(3)
+        batches, subs = [], []
         for _ in range(num_iterations):
             key, sub = jax.random.split(key)
-            batch = dataset.make_host_batch(batch_size)
-            totals += np.asarray(jax.device_get(eval_batch(batch, sub)))
-        totals /= num_iterations
+            batches.append(dataset.make_host_batch(batch_size))
+            subs.append(sub)
+
+        # all iterations in one scan dispatch, one fetch (the per-iteration
+        # loop paid ~2 host round trips each)
+        stacked = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *batches)
+        ks = jnp.stack([jnp.asarray(s) for s in subs])
+
+        @jax.jit
+        def eval_all(stacked, ks):
+            def body(tot, xk):
+                b, k = xk
+                return tot + jnp.stack(eval_batch(b, k)), None
+
+            tot, _ = jax.lax.scan(body, jnp.zeros(3), (stacked, ks))
+            return tot / num_iterations
+
+        totals = np.asarray(jax.device_get(eval_all(stacked, ks)))
         return tuple(totals)  # (loss, match_loss, non_match_loss)
 
     # -- the full pipeline --------------------------------------------------------------
