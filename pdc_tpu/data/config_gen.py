@@ -142,6 +142,49 @@ def generate_dataset_configs(data_dir: str, out_dir: str,
     return result
 
 
+def scene_names_in_composite(composite: dict, config_dir: str) -> List[str]:
+    """All scene names (train + test, single + multi object) referenced by a
+    composite dataset config, without loading any frames."""
+    names: List[str] = []
+    for key in ("single_object_scenes_config_files",
+                "multi_object_scenes_config_files"):
+        for f in composite.get(key, []):
+            path = f if os.path.isabs(f) else os.path.join(config_dir, f)
+            sc = load_yaml(path)
+            for split in ("train", "test"):
+                names.extend(sc.get(split, []))
+            names.extend(sc.get("scenes", []))
+    seen, out = set(), []
+    for n in names:
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+def copy_dataset_scenes(composite: dict, config_dir: str, data_dir: str,
+                        target_dir: str, dry_run: bool = False) -> List[str]:
+    """Copy every scene a composite config references into ``target_dir``
+    (the reference's ``scripts/dataset_copy_util.ipynb`` workflow: extract a
+    dataset subset — e.g. all shoe logs — into its own directory tree).
+    Existing destinations are skipped; returns the scene names copied."""
+    import shutil
+
+    logs_root = composite.get("logs_root_path", "logs_proto")
+    copied = []
+    for name in scene_names_in_composite(composite, config_dir):
+        src = os.path.join(data_dir, logs_root, name)
+        dst = os.path.join(target_dir, logs_root, name)
+        if not os.path.isdir(src):
+            raise FileNotFoundError(src)
+        if os.path.exists(dst):
+            continue
+        if not dry_run:
+            shutil.copytree(src, dst)
+        copied.append(name)
+    return copied
+
+
 def main(argv=None):  # pragma: no cover - thin CLI over the above
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--data_dir", required=True,

@@ -94,3 +94,30 @@ def test_multi_object_routing(data_root, tmp_path):
     composite = load_yaml(res["composite"])
     assert len(composite["multi_object_scenes_config_files"]) == 1
     assert "both" in res["multi_object"]
+
+
+def test_copy_dataset_scenes(data_root, tmp_path):
+    """Dataset-subset extraction (reference scripts/dataset_copy_util.ipynb)."""
+    from pdc_tpu.data.config_gen import copy_dataset_scenes
+
+    out = str(tmp_path / "config")
+    res = generate_dataset_configs(
+        data_root, out, object_of={"2020-01": "caterpillar", "2020-02": "shoe"})
+    composite = load_yaml(res["composite"])
+
+    target = str(tmp_path / "subset")
+    dry = copy_dataset_scenes(composite, out, data_root, target, dry_run=True)
+    assert len(dry) == 5
+    assert not os.path.exists(os.path.join(target, "logs_proto"))
+
+    copied = copy_dataset_scenes(composite, out, data_root, target)
+    assert sorted(copied) == sorted(dry)
+    for name in copied:
+        assert os.path.exists(os.path.join(
+            target, "logs_proto", name, "processed", "images", "pose_data.yaml"))
+    # idempotent: second run copies nothing
+    assert copy_dataset_scenes(composite, out, data_root, target) == []
+    # the copied tree is itself a loadable data root
+    from pdc_tpu.data.config_gen import discover_scenes
+
+    assert len(discover_scenes(target)) == 5
