@@ -125,8 +125,14 @@ def single_image_pair_cross_scene_keypoints_quantitative_analysis(
     return rows
 
 
-def evaluate_network_cross_scene_keypoints(dcn, dataset, keypoint_labels):
+def evaluate_network_cross_scene_keypoints(dcn, dataset, keypoint_labels,
+                                           fused: bool = True):
     """All-pairs keypoint evaluation (reference evaluation.py:407-472).
+
+    With ``fused`` (default, real DCNs only) descriptor images are computed
+    in batched forwards and every pair-ordering's statistics run in one
+    ``lax.scan`` dispatch with keypoints padded to the max count — the
+    per-pair loop pays ~2 dispatch round trips per pair.
 
     :param keypoint_labels: list of label entries, or a path to the YAML file
     :return: pandas DataFrame in the 23-column schema
@@ -137,13 +143,13 @@ def evaluate_network_cross_scene_keypoints(dcn, dataset, keypoint_labels):
         keypoint_labels = load_yaml(keypoint_labels)
     logger.info("num cross instance labels: %d", len(keypoint_labels))
 
+    if fused and hasattr(dcn, "forward") and len(keypoint_labels) >= 2:
+        return _evaluate_keypoints_fused(dcn, dataset, keypoint_labels)
+
     # (scene_name, image_idx) -> descriptor image, computed once
-    descriptor_images = {}
-    for entry in keypoint_labels:
-        k = (entry["scene_name"], int(entry["image_idx"]))
-        if k not in descriptor_images:
-            rgb, _, _, _ = dataset.get_rgbd_mask_pose(*k)
-            descriptor_images[k] = dcn.forward_on_img(rgb)
+    descriptor_images = DenseCorrespondenceEvaluation.compute_descriptor_images_batched(
+        dcn, dataset,
+        [(e["scene_name"], int(e["image_idx"])) for e in keypoint_labels])
 
     rows = []
     num_pairs = 0
@@ -154,6 +160,121 @@ def evaluate_network_cross_scene_keypoints(dcn, dataset, keypoint_labels):
             res_a=descriptor_images[(a["scene_name"], int(a["image_idx"]))],
             res_b=descriptor_images[(b["scene_name"], int(b["image_idx"]))],
         ))
+    logger.info("num_pairs considered: %d", num_pairs)
+    return pd.DataFrame(rows, columns=EVAL_COLUMNS)
+
+
+def _evaluate_keypoints_fused(dcn, dataset, labels):
+    """All pair-orderings' keypoint statistics in one device dispatch."""
+    import jax
+    import pandas as pd
+
+    # unique images: descriptor images (batched forwards) + raw frames
+    keys = []
+    for e in labels:
+        k = (e["scene_name"], int(e["image_idx"]))
+        if k not in keys:
+            keys.append(k)
+    res_map = DenseCorrespondenceEvaluation.compute_descriptor_images_batched(
+        dcn, dataset, keys)
+    kidx = {k: j for j, k in enumerate(keys)}
+    res_stack = jnp.stack([jnp.asarray(res_map[k]) for k in keys])
+    depths, masks, poses, Ks = [], [], [], []
+    for s, i in keys:
+        _, d, m, p = dataset.get_rgbd_mask_pose(s, i)
+        depths.append(np.asarray(d))
+        masks.append(np.asarray(m))
+        poses.append(np.asarray(p, np.float32))
+        Ks.append(np.asarray(dataset.get_scene(s).K, np.float32))
+    depths, masks = np.stack(depths), np.stack(masks)
+    poses, Ks = np.stack(poses), np.stack(Ks)
+
+    # one entry per pair-ordering; keypoints padded to the max count
+    def clip_uv(kp):
+        return dcn.clip_pixel_to_image_size_and_round((kp["u"], kp["v"]))
+
+    entries = []  # (i1, i2, Ka_idx, uv1, uv2, kp_names)
+    num_pairs = 0
+    for a, b in itertools.combinations(labels, 2):
+        num_pairs += 1
+        kp_names = sorted(a["keypoints"].keys())
+        for name in kp_names:
+            if name not in b["keypoints"]:
+                raise ValueError(f"keypoint {name} appears in one list of "
+                                 "annotated data but not the other")
+        ia = kidx[(a["scene_name"], int(a["image_idx"]))]
+        ib = kidx[(b["scene_name"], int(b["image_idx"]))]
+        uv_a = np.asarray([clip_uv(a["keypoints"][n]) for n in kp_names], np.int32)
+        uv_b = np.asarray([clip_uv(b["keypoints"][n]) for n in kp_names], np.int32)
+        if not np.allclose(Ks[ia], Ks[ib]):
+            logger.warning(
+                "different camera intrinsics between scenes %s and %s; "
+                "using scene a's K", a["scene_name"], b["scene_name"])
+        meta = (a, b, kp_names)
+        entries.append((ia, ib, ia, uv_a, uv_b, meta, "standard"))
+        entries.append((ib, ia, ia, uv_b, uv_a, meta, "reverse"))
+
+    km = max(len(e[3]) for e in entries)
+    if km == 0:
+        return pd.DataFrame([], columns=EVAL_COLUMNS)
+    uv1 = np.zeros((len(entries), km, 2), np.int32)
+    uv2 = np.zeros((len(entries), km, 2), np.int32)
+    for j, (_, _, _, a1, a2, _, _) in enumerate(entries):
+        uv1[j, : len(a1)] = a1
+        uv2[j, : len(a2)] = a2
+
+    xs = {
+        "i1": jnp.asarray([e[0] for e in entries], jnp.int32),
+        "i2": jnp.asarray([e[1] for e in entries], jnp.int32),
+        "ik": jnp.asarray([e[2] for e in entries], jnp.int32),
+        "uv1": jnp.asarray(uv1),
+        "uv2": jnp.asarray(uv2),
+    }
+    d_depths, d_masks = jnp.asarray(depths), jnp.asarray(masks)
+    d_poses, d_Ks = jnp.asarray(poses), jnp.asarray(Ks)
+
+    @jax.jit
+    def run(res_stack, depths, masks, poses, Ks, xs):
+        def body(carry, x):
+            stats = dict(_match_statistics_device(
+                depths[x["i1"]], depths[x["i2"]], masks[x["i2"]],
+                x["uv1"], x["uv2"],
+                poses[x["i1"]], poses[x["i2"]],
+                res_stack[x["i1"]], res_stack[x["i2"]], Ks[x["ik"]]))
+            stats.pop("uv_b_pred", None)
+            stats.pop("uv_b_pred_masked", None)
+            return carry, stats
+
+        _, ys = jax.lax.scan(body, 0, xs)
+        return ys
+
+    stats_np = jax.device_get(run(res_stack, d_depths, d_masks, d_poses,
+                                  d_Ks, xs))
+
+    rows = []
+    for j, (_, _, _, _, _, (a, b, kp_names), order) in enumerate(entries):
+        if order == "standard":
+            sn1, sn2 = a["scene_name"], b["scene_name"]
+            i1, i2 = int(a["image_idx"]), int(b["image_idx"])
+            oid1, oid2 = a.get("object_id"), b.get("object_id")
+        else:
+            sn1, sn2 = b["scene_name"], a["scene_name"]
+            i1, i2 = int(b["image_idx"]), int(a["image_idx"])
+            oid1, oid2 = b.get("object_id"), a.get("object_id")
+        for i, name in enumerate(kp_names):
+            row = {c: None for c in EVAL_COLUMNS}
+            row.update(
+                scene_name_a=sn1, scene_name_b=sn2,
+                img_a_idx=i1, img_b_idx=i2,
+                object_id_a=oid1, object_id_b=oid2,
+                keypoint_name=name,
+                is_valid=bool(stats_np["is_valid"][j, i]),
+                is_valid_masked=bool(stats_np["is_valid_masked"][j, i]),
+            )
+            for c in EVAL_COLUMNS:
+                if c in stats_np and row[c] is None:
+                    row[c] = float(stats_np[c][j, i])
+            rows.append(row)
     logger.info("num_pairs considered: %d", num_pairs)
     return pd.DataFrame(rows, columns=EVAL_COLUMNS)
 

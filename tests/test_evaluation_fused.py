@@ -86,3 +86,41 @@ def test_across_objects_fused_matches_loop():
         df_fused["norm_diff_descriptor_best_match"].to_numpy(),
         df_loop["norm_diff_descriptor_best_match"].to_numpy(),
         rtol=2e-3, atol=1e-4)
+
+
+def test_keypoints_fused_matches_loop():
+    from pdc_tpu.evaluation.keypoints import (
+        evaluate_network_cross_scene_keypoints)
+
+    ds = SpartanDataset.make_synthetic(num_scenes=3, width=W, height=H,
+                                       num_frames=2, object_radius=0.3)
+    dcn = DenseCorrespondenceNetwork.from_config({
+        "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+        "descriptor_dimension": 3, "image_width": W, "image_height": H})
+
+    labels = []
+    for sname in sorted(ds.scenes):
+        sc = ds.get_scene(sname)
+        on = np.argwhere(np.asarray(sc.mask[0]) != 0)
+        v1, u1 = on[len(on) // 3]
+        v2, u2 = on[2 * len(on) // 3]
+        labels.append({
+            "scene_name": sname, "object_id": sc.object_id, "image_idx": 0,
+            "keypoints": {"top": {"u": int(u1), "v": int(v1)},
+                          "bottom": {"u": int(u2), "v": int(v2)}},
+        })
+
+    df_loop = evaluate_network_cross_scene_keypoints(dcn, ds, labels,
+                                                     fused=False)
+    df_fused = evaluate_network_cross_scene_keypoints(dcn, ds, labels,
+                                                      fused=True)
+    # 3 pairs x 2 orderings x 2 keypoints
+    assert len(df_fused) == len(df_loop) == 12
+    for c in ("scene_name_a", "scene_name_b", "img_a_idx", "img_b_idx",
+              "keypoint_name", "is_valid", "is_valid_masked"):
+        assert (df_fused[c] == df_loop[c]).all(), c
+    for c in ("pixel_match_error_l2", "norm_diff_descriptor",
+              "norm_diff_pred_3d", "fraction_pixels_closer_than_ground_truth"):
+        np.testing.assert_allclose(
+            df_fused[c].to_numpy(), df_loop[c].to_numpy(),
+            rtol=2e-3, atol=1e-4, err_msg=c, equal_nan=True)
