@@ -592,6 +592,13 @@ class DenseCorrespondenceEvaluation:
         with image_a/image_b entries holding scene_name, image_idx, pixels."""
         import pandas as pd
 
+        # forwards once per unique image, in batches (the reference reruns
+        # the forward for every annotation entry)
+        images = DenseCorrespondenceEvaluation.compute_descriptor_images_batched(
+            dcn, dataset,
+            [(ann[side]["scene_name"], int(ann[side]["image_idx"]))
+             for ann in annotations for side in ("image_a", "image_b")])
+
         rows = []
         for ann in annotations:
             ia, ib = ann["image_a"], ann["image_b"]
@@ -602,8 +609,8 @@ class DenseCorrespondenceEvaluation:
             K = dataset.get_scene(scene_a).K
             uv_a = np.asarray([[p["u"], p["v"]] for p in ia["pixels"]], np.int32)
             uv_b = np.asarray([[p["u"], p["v"]] for p in ib["pixels"]], np.int32)
-            res_a = dcn.forward_on_img(rgb_a)
-            res_b = dcn.forward_on_img(rgb_b)
+            res_a = images[(scene_a, idx_a)]
+            res_b = images[(scene_b, idx_b)]
             stats = _match_statistics_device(
                 jnp.asarray(depth_a), jnp.asarray(depth_b), jnp.asarray(mask_b),
                 jnp.asarray(uv_a), jnp.asarray(uv_b),
