@@ -121,3 +121,30 @@ def test_copy_dataset_scenes(data_root, tmp_path):
     from pdc_tpu.data.config_gen import discover_scenes
 
     assert len(discover_scenes(target)) == 5
+
+
+def test_migrate_old_format_logs(tmp_path):
+    """Old flat scene layout -> processed/raw (reference
+    scripts/convert_data_to_new_format.py)."""
+    from pdc_tpu.data.migrate import migrate_logs
+
+    logs = tmp_path / "logs_proto"
+    old = logs / "old_scene"
+    (old / "images").mkdir(parents=True)
+    (old / "images" / "000000_rgb.png").write_bytes(b"png")
+    (old / "fusion_mesh.ply").write_bytes(b"ply")
+    (old / "fusion.bag").write_bytes(b"bag")
+    new = logs / "new_scene"
+    (new / "processed" / "images").mkdir(parents=True)
+
+    assert migrate_logs(str(logs), dry_run=True) == ["old_scene"]
+    assert (old / "fusion_mesh.ply").exists()  # dry run moved nothing
+
+    assert migrate_logs(str(logs)) == ["old_scene"]
+    assert (old / "processed" / "fusion_mesh.ply").exists()
+    assert (old / "processed" / "images" / "000000_rgb.png").exists()
+    assert (old / "raw" / "fusion.bag").exists()
+    assert not (old / "fusion_mesh.ply").exists()
+    # idempotent; new-format scene untouched
+    assert migrate_logs(str(logs)) == []
+    assert (new / "processed" / "images").exists()
