@@ -61,12 +61,15 @@ class CropBox:
     min_pt: tuple
     max_pt: tuple
 
-    def filter(self, points):
+    def contains(self, points):
         p = np.asarray(points)
         lo = np.asarray(self.min_pt)
         hi = np.asarray(self.max_pt)
-        keep = np.all((p >= lo) & (p <= hi), axis=1)
-        return p[keep]
+        return np.all((p >= lo) & (p <= hi), axis=1)
+
+    def filter(self, points):
+        p = np.asarray(points)
+        return p[self.contains(p)]
 
 
 @dataclasses.dataclass
@@ -80,15 +83,18 @@ class OrientedCropBox:
     transform: np.ndarray  # [4, 4] box-to-world
     dimensions: tuple      # (x, y, z) full extents
 
-    def filter(self, points):
+    def contains(self, points):
         from pdc_tpu.geom.transforms import invert_se3, transform_points
 
         p = np.asarray(points, np.float64)
         local = np.asarray(transform_points(
             invert_se3(np.asarray(self.transform, np.float64)), p))
         half = np.asarray(self.dimensions, np.float64) / 2.0
-        keep = np.all(np.abs(local) <= half, axis=1)
-        return p[keep]
+        return np.all(np.abs(local) <= half, axis=1)
+
+    def filter(self, points):
+        p = np.asarray(points)
+        return p[self.contains(points)]
 
     @staticmethod
     def from_station_config(config: dict) -> "OrientedCropBox":
@@ -168,14 +174,21 @@ class ChangeDetection:
                  image_height: int, image_width: int,
                  crop_box: Optional[CropBox] = None,
                  background_points: Optional[np.ndarray] = None,
-                 depth_threshold: float = 0.01, splat_radius: int = 1):
+                 depth_threshold: float = 0.01, splat_radius: int = 1,
+                 faces: Optional[np.ndarray] = None,
+                 background_faces: Optional[np.ndarray] = None,
+                 raster_tile: int = 8):
         """
-        :param points_world: scene geometry as world-frame points (e.g. TSDF
-            mesh vertices, densely sampled)
+        :param points_world: scene geometry as world-frame points (TSDF mesh
+            vertices)
+        :param faces: optional [F, 3] triangles over ``points_world`` —
+            renders go through the triangle rasterizer (hole-free, like the
+            reference's VTK mesh rendering) instead of point splats
         :param background_points: geometry of the background-only scene; if
             None, the crop strategy is used
         """
         self.points = np.asarray(points_world, np.float32)
+        self.faces = None if faces is None else np.asarray(faces, np.int32)
         self.K = np.asarray(K, np.float32)
         self.H, self.W = image_height, image_width
         self.crop_box = crop_box
@@ -183,39 +196,70 @@ class ChangeDetection:
             None if background_points is None
             else np.asarray(background_points, np.float32)
         )
+        self.background_faces = (
+            None if background_faces is None
+            else np.asarray(background_faces, np.int32)
+        )
         self.depth_threshold = depth_threshold
         self.splat_radius = splat_radius
-        self._fg_points = crop_box.filter(self.points) if crop_box else self.points
+        self.raster_tile = raster_tile
+        if crop_box is None:
+            self._fg_points, self._fg_faces = self.points, self.faces
+        elif self.faces is None:
+            self._fg_points, self._fg_faces = crop_box.filter(self.points), None
+        else:
+            # keep all vertices (face indices stay valid); crop by FACES
+            # whose three vertices all sit inside the box
+            inside = crop_box.contains(self.points)
+            self._fg_points = self.points
+            self._fg_faces = self.faces[np.all(inside[self.faces], axis=1)]
 
     @staticmethod
     def from_data_folder(processed_folder: str, crop_box: Optional[CropBox] = None,
                          **kwargs):
         """Load geometry + intrinsics from a processed scene folder
-        (reference from_data_folder, change_detection.py:487)."""
+        (reference from_data_folder, change_detection.py:487). Faces in
+        fusion_mesh.ply enable triangle rasterization automatically."""
         from pdc_tpu.data.scene import SceneStructure
+        from pdc_tpu.pipeline.renderer import read_ply_mesh
 
         structure = SceneStructure(processed_folder)
-        points = mesh_vertices_from_ply(structure.fusion_mesh_filename)
+        points, faces = read_ply_mesh(structure.fusion_mesh_filename)
         intr = structure.load_camera_intrinsics()
         return ChangeDetection(
-            points, intr.K, intr.height, intr.width, crop_box=crop_box, **kwargs
+            points, intr.K, intr.height, intr.width, crop_box=crop_box,
+            faces=faces, **kwargs
         ), structure
 
     # -- per-frame ----------------------------------------------------------------
 
-    def render_depth(self, camera_to_world, points=None):
+    def render_depth(self, camera_to_world, points=None, faces=None):
         pts = self.points if points is None else points
-        d = render_depth_from_points(
-            jnp.asarray(pts), jnp.asarray(camera_to_world, jnp.float32),
-            jnp.asarray(self.K), self.H, self.W, splat_radius=self.splat_radius,
-        )
+        if points is None and faces is None:
+            faces = self.faces
+        if faces is not None:
+            from pdc_tpu.pipeline.renderer import render_depth_from_mesh
+
+            d = render_depth_from_mesh(
+                jnp.asarray(pts), jnp.asarray(faces),
+                jnp.asarray(camera_to_world, jnp.float32),
+                jnp.asarray(self.K), self.H, self.W, tile=self.raster_tile,
+            )
+        else:
+            d = render_depth_from_points(
+                jnp.asarray(pts), jnp.asarray(camera_to_world, jnp.float32),
+                jnp.asarray(self.K), self.H, self.W,
+                splat_radius=self.splat_radius,
+            )
         return np.asarray(d)
 
     def compute_mask(self, camera_to_world):
-        depth_fg = self.render_depth(camera_to_world, self._fg_points)
+        depth_fg = self.render_depth(camera_to_world, self._fg_points,
+                                     faces=self._fg_faces)
         if self.background_points is None:
             return compute_foreground_mask_using_crop_strategy(depth_fg), depth_fg
-        depth_bg = self.render_depth(camera_to_world, self.background_points)
+        depth_bg = self.render_depth(camera_to_world, self.background_points,
+                                     faces=self.background_faces)
         mask = compute_foreground_mask_from_depth_image_pair(
             depth_fg, depth_bg, self.depth_threshold
         )

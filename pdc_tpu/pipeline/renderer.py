@@ -58,10 +58,110 @@ def render_depth_from_points(points_world, camera_to_world, K,
     return depth.reshape(height, width)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "tile", "chunk"))
+def render_depth_from_mesh(vertices_world, faces, camera_to_world, K,
+                           height: int, width: int, tile: int = 8,
+                           chunk: int = 65536):
+    """Render a depth image by rasterizing mesh triangles — the full analog
+    of the reference's VTK mesh rendering (point splats leave holes where
+    vertices are sparse; triangles fill faces exactly).
+
+    Screen-space edge-function rasterization with perspective-correct depth
+    (barycentric interpolation of 1/z): each triangle rasterizes a static
+    ``tile`` x ``tile`` pixel block anchored at its bbox corner and
+    scatter-mins into the z-buffer; triangles are processed ``chunk`` at a
+    time under ``lax.scan`` so memory stays bounded. TSDF fusion meshes have
+    voxel-scale triangles (a few pixels), so the default tile covers them;
+    raise ``tile`` for close-up renders of coarse meshes.
+
+    :param vertices_world: [N, 3] float32
+    :param faces: [F, 3] int32 vertex indices
+    :return: [H, W] float32 metric depth; 0 where nothing projects
+    """
+    world_to_cam = invert_se3(jnp.asarray(camera_to_world, jnp.float32))
+    pts_cam = transform_points(world_to_cam, jnp.asarray(vertices_world,
+                                                         jnp.float32))
+    Kf = jnp.asarray(K, jnp.float32)
+    z = pts_cam[:, 2]
+    proj = pts_cam @ Kf.T
+    denom = jnp.where(jnp.abs(proj[:, 2]) < 1e-9, 1e-9, proj[:, 2])
+    u = proj[:, 0] / denom
+    v = proj[:, 1] / denom
+
+    faces = jnp.asarray(faces, jnp.int32)
+    n_faces = faces.shape[0]
+    pad = (-n_faces) % chunk
+    # padded entries point at vertex 0 -> degenerate, culled by the area test
+    faces_p = jnp.concatenate(
+        [faces, jnp.zeros((pad, 3), jnp.int32)], axis=0
+    ).reshape(-1, chunk, 3)
+
+    # static tile offsets
+    off = jnp.arange(tile)
+    du, dv = jnp.meshgrid(off, off, indexing="xy")
+    du = du.reshape(-1)  # [tile*tile]
+    dv = dv.reshape(-1)
+
+    zbuf0 = jnp.full((height * width,), INVALID_DEPTH)
+
+    def raster_chunk(zbuf, f):
+        # triangle vertex screen coords [C, 3]
+        tu = u[f]
+        tv = v[f]
+        tz = z[f]
+        in_front = jnp.all(tz > 1e-6, axis=1)  # [C]
+
+        # bbox anchor per triangle
+        u0 = jnp.floor(jnp.min(tu, axis=1)).astype(jnp.int32)  # [C]
+        v0 = jnp.floor(jnp.min(tv, axis=1)).astype(jnp.int32)
+        px = (u0[:, None] + du[None, :]).astype(jnp.float32) + 0.5  # [C, T2]
+        py = (v0[:, None] + dv[None, :]).astype(jnp.float32) + 0.5
+
+        # edge functions (signed areas); both windings accepted
+        x1, x2, x3 = tu[:, 0:1], tu[:, 1:2], tu[:, 2:3]
+        y1, y2, y3 = tv[:, 0:1], tv[:, 1:2], tv[:, 2:3]
+        w0 = (x3 - x2) * (py - y2) - (y3 - y2) * (px - x2)
+        w1 = (x1 - x3) * (py - y3) - (y1 - y3) * (px - x3)
+        w2 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+        area = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)  # [C, 1]
+        pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+        neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
+        ok_area = jnp.abs(area) > 1e-12
+        inside = (pos | neg) & ok_area & in_front[:, None]
+
+        # perspective-correct depth: interpolate 1/z with screen barycentrics
+        safe_area = jnp.where(ok_area, area, 1.0)
+        l0 = w0 / safe_area
+        l1 = w1 / safe_area
+        l2 = w2 / safe_area
+        inv_z = (l0 / tz[:, 0:1] + l1 / tz[:, 1:2] + l2 / tz[:, 2:3])
+        depth = 1.0 / jnp.maximum(inv_z, 1e-9)
+
+        ui = u0[:, None] + du[None, :]
+        vi = v0[:, None] + dv[None, :]
+        ok = inside & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+        flat = jnp.where(ok, vi * width + ui, 0).reshape(-1)
+        val = jnp.where(ok, depth, INVALID_DEPTH).reshape(-1)
+        return zbuf.at[flat].min(val), None
+
+    zbuf, _ = jax.lax.scan(raster_chunk, zbuf0, faces_p)
+    depth = jnp.where(zbuf >= INVALID_DEPTH, 0.0, zbuf)
+    return depth.reshape(height, width)
+
+
 def mesh_vertices_from_ply(path: str):
-    """Minimal ASCII/binary-little-endian PLY vertex reader (the reference
-    loads fusion_mesh.ply via VTK; we only need vertices for point-splat
-    rendering)."""
+    """Vertices only (back-compat wrapper around :func:`read_ply_mesh`)."""
+    return read_ply_mesh(path)[0]
+
+
+def read_ply_mesh(path: str):
+    """Minimal ASCII/binary-little-endian PLY reader (the reference loads
+    fusion_mesh.ply via VTK): vertices + triangular faces.
+
+    :return: (vertices [N, 3] float32, faces [F, 3] int32 or None when the
+        file has no face element — point-splat rendering handles that case)
+    """
     import numpy as np
 
     with open(path, "rb") as f:
@@ -72,8 +172,10 @@ def mesh_vertices_from_ply(path: str):
             if line == "end_header":
                 break
         n_vertex = 0
+        n_face = 0
         fmt = "ascii"
         props = []
+        face_list_types = ("uchar", "int")
         reading_vertex_props = False
         for line in header:
             if line.startswith("format"):
@@ -81,11 +183,17 @@ def mesh_vertices_from_ply(path: str):
             elif line.startswith("element vertex"):
                 n_vertex = int(line.split()[-1])
                 reading_vertex_props = True
+            elif line.startswith("element face"):
+                n_face = int(line.split()[-1])
+                reading_vertex_props = False
             elif line.startswith("element"):
                 reading_vertex_props = False
             elif line.startswith("property") and reading_vertex_props:
                 parts = line.split()
                 props.append((parts[-1], parts[1]))
+            elif line.startswith("property list"):
+                parts = line.split()  # property list <count_t> <index_t> name
+                face_list_types = (parts[2], parts[3])
 
         type_map = {
             "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
@@ -97,10 +205,34 @@ def mesh_vertices_from_ply(path: str):
             rows = []
             for _ in range(n_vertex):
                 rows.append([float(x) for x in f.readline().split()[:3]])
-            return np.asarray(rows, np.float32)
+            verts = np.asarray(rows, np.float32).reshape(n_vertex, 3)
+            faces = None
+            if n_face:
+                frows = []
+                for _ in range(n_face):
+                    vals = [int(x) for x in f.readline().split()]
+                    if vals[0] == 3:  # triangles only
+                        frows.append(vals[1:4])
+                faces = np.asarray(frows, np.int32).reshape(-1, 3)
+            return verts, faces
+
         dtype = np.dtype([(name, "<" + type_map[t]) for name, t in props])
         data = np.frombuffer(f.read(dtype.itemsize * n_vertex), dtype=dtype)
-        return np.stack(
+        verts = np.stack(
             [data["x"].astype(np.float32), data["y"].astype(np.float32),
              data["z"].astype(np.float32)], axis=-1,
         )
+        faces = None
+        if n_face:
+            fdtype = np.dtype([
+                ("n", "<" + type_map[face_list_types[0]]),
+                ("idx", "<" + type_map[face_list_types[1]], (3,)),
+            ])
+            raw = f.read(fdtype.itemsize * n_face)
+            fdata = np.frombuffer(raw, dtype=fdtype, count=n_face)
+            if not np.all(fdata["n"] == 3):
+                raise ValueError(
+                    f"non-triangular faces in {path} (counts "
+                    f"{np.unique(fdata['n'])}); triangulate the mesh first")
+            faces = fdata["idx"].astype(np.int32)
+        return verts, faces

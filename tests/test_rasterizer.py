@@ -1,0 +1,142 @@
+"""Triangle-mesh depth rasterizer (the VTK mesh-render analog):
+perspective-correct depth, occlusion, winding, PLY face IO, and the
+change-detection integration."""
+
+import numpy as np
+import pytest
+
+from pdc_tpu.pipeline.renderer import (
+    read_ply_mesh,
+    render_depth_from_mesh,
+    render_depth_from_points,
+)
+
+H, W = 48, 64
+K = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]], np.float32)
+EYE = np.eye(4, dtype=np.float32)
+
+
+def _quad(z_fn, x0=-0.3, x1=0.3, y0=-0.2, y1=0.2):
+    """Two triangles spanning a quad at depth z_fn(x, y)."""
+    corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+    verts = np.array([[x, y, z_fn(x, y)] for x, y in corners], np.float32)
+    faces = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return verts, faces
+
+
+def test_flat_quad_exact_depth():
+    verts, faces = _quad(lambda x, y: 1.5)
+    depth = np.asarray(render_depth_from_mesh(verts, faces, EYE, K, H, W,
+                                              tile=32))
+    # pixel (cx, cy) looks at (0, 0, 1.5) — inside the quad
+    assert depth[24, 32] == pytest.approx(1.5, abs=1e-3)
+    # quad projects to u in [cx - fx*0.3/1.5, cx + ...] = [22, 42]
+    inside = depth[24, 24:41]
+    np.testing.assert_allclose(inside, 1.5, atol=1e-3)
+    assert depth[24, 2] == 0.0 and depth[2, 32] == 0.0  # outside
+
+
+def test_perspective_correct_slanted_plane():
+    # plane z = 1 + x: the depth at pixel u is the ray-plane intersection
+    # z(u) = 1 / (1 - (u - cx)/fx), nonlinear in u — linear-in-screen-space
+    # z interpolation would get this wrong; 1/z interpolation is exact
+    verts, faces = _quad(lambda x, y: 1.0 + x)
+    depth = np.asarray(render_depth_from_mesh(verts, faces, EYE, K, H, W,
+                                              tile=40))
+    for u in (28, 32, 36):
+        alpha = (u + 0.5 - 32.0) / 50.0  # x/z along the pixel-center ray
+        z_expect = 1.0 / (1.0 - alpha)
+        assert depth[24, u] == pytest.approx(z_expect, rel=1e-3), u
+
+
+def test_occlusion_and_winding():
+    # far quad (both windings) + near quad occluding the center
+    far_v, far_f = _quad(lambda x, y: 2.0)
+    near_v, near_f = _quad(lambda x, y: 1.0, x0=-0.05, x1=0.05,
+                           y0=-0.05, y1=0.05)
+    verts = np.concatenate([far_v, near_v])
+    faces = np.concatenate([far_f[:, ::-1], near_f + 4])  # reversed winding far
+    depth = np.asarray(render_depth_from_mesh(verts, faces, EYE, K, H, W,
+                                              tile=32))
+    assert depth[24, 32] == pytest.approx(1.0, abs=1e-3)  # near wins
+    assert depth[24, 28] == pytest.approx(2.0, abs=1e-3)  # far elsewhere
+
+
+def test_mesh_renders_fill_point_splat_holes():
+    # sparse vertices: splats leave holes, triangles do not
+    verts, faces = _quad(lambda x, y: 1.2)
+    d_mesh = np.asarray(render_depth_from_mesh(verts, faces, EYE, K, H, W,
+                                               tile=32))
+    d_pts = np.asarray(render_depth_from_points(verts, EYE, K, H, W,
+                                                splat_radius=1))
+    assert (d_mesh > 0).sum() > 5 * (d_pts > 0).sum()
+
+
+def _write_ply(path, verts, faces, binary):
+    if binary:
+        with open(path, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n")
+            f.write(b"element vertex %d\n" % len(verts))
+            f.write(b"property float x\nproperty float y\nproperty float z\n")
+            f.write(b"element face %d\n" % len(faces))
+            f.write(b"property list uchar int vertex_indices\n")
+            f.write(b"end_header\n")
+            f.write(np.asarray(verts, "<f4").tobytes())
+            fdt = np.dtype([("n", "u1"), ("idx", "<i4", (3,))])
+            rec = np.zeros(len(faces), fdt)
+            rec["n"] = 3
+            rec["idx"] = faces
+            f.write(rec.tobytes())
+    else:
+        with open(path, "w") as f:
+            f.write("ply\nformat ascii 1.0\n")
+            f.write(f"element vertex {len(verts)}\n")
+            f.write("property float x\nproperty float y\nproperty float z\n")
+            f.write(f"element face {len(faces)}\n")
+            f.write("property list uchar int vertex_indices\n")
+            f.write("end_header\n")
+            for v in verts:
+                f.write("%.6f %.6f %.6f\n" % tuple(v))
+            for a, b, c in faces:
+                f.write(f"3 {a} {b} {c}\n")
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_ply_face_roundtrip(tmp_path, binary):
+    verts, faces = _quad(lambda x, y: 1.0)
+    path = str(tmp_path / ("m_bin.ply" if binary else "m_ascii.ply"))
+    _write_ply(path, verts, faces, binary)
+    rv, rf = read_ply_mesh(path)
+    np.testing.assert_allclose(rv, verts, atol=1e-5)
+    np.testing.assert_array_equal(rf, faces)
+
+
+def test_ply_without_faces(tmp_path):
+    verts, _ = _quad(lambda x, y: 1.0)
+    path = str(tmp_path / "pts.ply")
+    with open(path, "w") as f:
+        f.write("ply\nformat ascii 1.0\n")
+        f.write(f"element vertex {len(verts)}\n")
+        f.write("property float x\nproperty float y\nproperty float z\n")
+        f.write("end_header\n")
+        for v in verts:
+            f.write("%.6f %.6f %.6f\n" % tuple(v))
+    rv, rf = read_ply_mesh(path)
+    assert rf is None and rv.shape == (4, 3)
+
+
+def test_change_detection_uses_mesh(tmp_path):
+    """from_data_folder picks up faces; crop-box filtering keeps faces whose
+    vertices all sit inside."""
+    from pdc_tpu.pipeline.change_detection import ChangeDetection, CropBox
+
+    verts, faces = _quad(lambda x, y: 1.5)
+    cd = ChangeDetection(verts, K, H, W, faces=faces, raster_tile=32,
+                         crop_box=CropBox((-1, -1, 0), (1, 1, 3)))
+    mask, depth_fg = cd.compute_mask(EYE)
+    assert mask[24, 32] == 1 and depth_fg[24, 32] > 0
+    # crop box excluding the quad -> no faces survive -> empty render
+    cd2 = ChangeDetection(verts, K, H, W, faces=faces, raster_tile=32,
+                          crop_box=CropBox((5, 5, 5), (6, 6, 6)))
+    mask2, _ = cd2.compute_mask(EYE)
+    assert mask2.sum() == 0
