@@ -47,8 +47,10 @@ class TSDFReconstruction:
     (reference TSDFReconstruction, fusion_reconstruction.py:305)."""
 
     def __init__(self, points: np.ndarray, poses: CameraPoses,
-                 intrinsics, crop_box: Optional[CropBox] = None):
+                 intrinsics, crop_box: Optional[CropBox] = None,
+                 faces: Optional[np.ndarray] = None):
         self._all_points = np.asarray(points, np.float32)
+        self.faces = None if faces is None else np.asarray(faces, np.int32)
         self.poses = poses
         self.intrinsics = intrinsics
         self.crop_box = crop_box
@@ -56,14 +58,16 @@ class TSDFReconstruction:
     @staticmethod
     def from_data_folder(processed_folder: str,
                          crop_box: Optional[CropBox] = None) -> "TSDFReconstruction":
+        from pdc_tpu.pipeline.renderer import read_ply_mesh
+
         structure = SceneStructure(processed_folder)
         mesh_file = structure.fusion_mesh_filename
         if not os.path.exists(mesh_file):
             raise FileNotFoundError(mesh_file)
-        points = mesh_vertices_from_ply(mesh_file)
+        points, faces = read_ply_mesh(mesh_file)
         return TSDFReconstruction(
             points, CameraPoses.from_scene(structure),
-            structure.load_camera_intrinsics(), crop_box=crop_box,
+            structure.load_camera_intrinsics(), crop_box=crop_box, faces=faces,
         )
 
     @property
@@ -81,19 +85,29 @@ class TSDFReconstruction:
         return self.poses.get_camera_to_world(idx)
 
     def render_depth(self, idx: int, cropped: bool = False, splat_radius: int = 1):
-        """Depth render at frame ``idx``'s pose via the point-splat z-buffer."""
+        """Depth render at frame ``idx``'s pose — triangle rasterization
+        when the mesh has faces, point-splat z-buffer otherwise."""
         import jax.numpy as jnp
 
-        from pdc_tpu.pipeline.renderer import render_depth_from_points
-
-        pts = self.points if cropped else self._all_points
-        d = render_depth_from_points(
-            jnp.asarray(pts),
-            jnp.asarray(self.get_camera_to_world(idx), jnp.float32),
-            jnp.asarray(self.intrinsics.K, jnp.float32),
-            self.intrinsics.height, self.intrinsics.width,
-            splat_radius=splat_radius,
+        from pdc_tpu.pipeline.renderer import (
+            render_depth_from_mesh,
+            render_depth_from_points,
         )
+
+        pose = jnp.asarray(self.get_camera_to_world(idx), jnp.float32)
+        K = jnp.asarray(self.intrinsics.K, jnp.float32)
+        H, W = self.intrinsics.height, self.intrinsics.width
+        if self.faces is not None:
+            faces = self.faces
+            if cropped and self.crop_box is not None:
+                inside = self.crop_box.contains(self._all_points)
+                faces = faces[np.all(inside[faces], axis=1)]
+            d = render_depth_from_mesh(
+                jnp.asarray(self._all_points), jnp.asarray(faces), pose, K, H, W)
+        else:
+            pts = self.points if cropped else self._all_points
+            d = render_depth_from_points(
+                jnp.asarray(pts), pose, K, H, W, splat_radius=splat_radius)
         return np.asarray(d)
 
 
