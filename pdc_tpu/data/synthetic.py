@@ -195,18 +195,64 @@ class SyntheticScene:
         disc = disc[disc[:, 0] ** 2 + disc[:, 1] ** 2 <= self.object_radius**2]
         return np.concatenate([plane, disc]).astype(np.float32)
 
-    def write_fusion_mesh(self, processed_dir):
-        """Write fusion_mesh.ply (ASCII, vertices only) into a processed
-        scene folder so the change-detection pipeline has geometry."""
-        pts = self.fusion_points()
+    def fusion_mesh(self, plane_step: float = 0.02, object_step: float = 0.005,
+                    plane_extent: float = 0.8, object_height: float = 0.02):
+        """Triangulated scene geometry — the synthetic stand-in for a real
+        TSDF fusion *mesh* (vertices + faces), exercising the triangle
+        rasterizer exactly as pdc data would.
+
+        :return: (vertices [N, 3] float32, faces [F, 3] int32)
+        """
+
+        def grid(xs, z, face_keep):
+            gx, gy = np.meshgrid(xs, xs)
+            verts = np.stack(
+                [gx.ravel(), gy.ravel(), np.full(gx.size, z)], axis=1)
+            w = len(xs)
+            r, c = np.meshgrid(np.arange(w - 1), np.arange(w - 1),
+                               indexing="ij")
+            i = (r * w + c).ravel()
+            quads = np.stack([i, i + 1, i + w + 1, i + w], axis=1)
+            faces = np.concatenate(
+                [quads[:, [0, 1, 2]], quads[:, [0, 2, 3]]], axis=0)
+            centroid = verts[faces].mean(axis=1)
+            return verts, faces[face_keep(centroid)]
+
+        r_obj2 = self.object_radius**2
+        plane_v, plane_f = grid(
+            np.arange(-plane_extent, plane_extent, plane_step), 0.0,
+            lambda c: c[:, 0] ** 2 + c[:, 1] ** 2 > r_obj2)
+        disc_v, disc_f = grid(
+            np.arange(-self.object_radius - object_step,
+                      self.object_radius + object_step, object_step),
+            object_height,
+            lambda c: c[:, 0] ** 2 + c[:, 1] ** 2 <= r_obj2)
+        verts = np.concatenate([plane_v, disc_v]).astype(np.float32)
+        faces = np.concatenate([plane_f, disc_f + len(plane_v)]).astype(np.int32)
+        return verts, faces
+
+    def write_fusion_mesh(self, processed_dir, with_faces: bool = True):
+        """Write fusion_mesh.ply (ASCII) into a processed scene folder so the
+        change-detection pipeline has geometry; ``with_faces`` (default)
+        writes the triangulated mesh, else vertices only."""
+        if with_faces:
+            pts, faces = self.fusion_mesh()
+        else:
+            pts, faces = self.fusion_points(), None
         path = os.path.join(processed_dir, "fusion_mesh.ply")
         with open(path, "w") as f:
             f.write("ply\nformat ascii 1.0\n")
             f.write(f"element vertex {len(pts)}\n")
             f.write("property float x\nproperty float y\nproperty float z\n")
+            if faces is not None:
+                f.write(f"element face {len(faces)}\n")
+                f.write("property list uchar int vertex_indices\n")
             f.write("end_header\n")
             for x, y, z in pts:
                 f.write(f"{x:.5f} {y:.5f} {z:.5f}\n")
+            if faces is not None:
+                for a, b, c in faces:
+                    f.write(f"3 {a} {b} {c}\n")
         return path
 
     def write_scene(self, scene_dir):

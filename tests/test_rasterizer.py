@@ -140,3 +140,30 @@ def test_change_detection_uses_mesh(tmp_path):
                           crop_box=CropBox((5, 5, 5), (6, 6, 6)))
     mask2, _ = cd2.compute_mask(EYE)
     assert mask2.sum() == 0
+
+
+def test_synthetic_fusion_mesh_pipeline(tmp_path):
+    """End-to-end from disk: synthetic scene writes a triangulated
+    fusion_mesh.ply; change detection loads it, rasterizes, and the mask
+    agrees with the scene's analytic object mask."""
+    from pdc_tpu.data.synthetic import SyntheticScene
+    from pdc_tpu.pipeline.change_detection import (
+        ChangeDetection, CropBox)
+
+    scene = SyntheticScene(width=64, height=48, num_frames=2)
+    scene.write_scene(str(tmp_path / "scene"))
+    processed = str(tmp_path / "scene" / "processed")
+
+    box = CropBox((-scene.object_radius * 1.2, -scene.object_radius * 1.2,
+                   0.005),
+                  (scene.object_radius * 1.2, scene.object_radius * 1.2, 0.1))
+    cd, structure = ChangeDetection.from_data_folder(processed, crop_box=box)
+    assert cd.faces is not None and len(cd.faces) > 100
+
+    rgb, depth, gt_mask, pose = scene.render(0)
+    mask, depth_fg = cd.compute_mask(pose)
+    gt = gt_mask > 0
+    pred = mask > 0
+    inter = (gt & pred).sum()
+    union = (gt | pred).sum()
+    assert inter / union > 0.7, f"IoU {inter/union:.2f}"
