@@ -1,0 +1,72 @@
+"""TPU probe: triangle-rasterizer throughput (preprocessing pipeline).
+
+Reference baseline: the VTK/OpenGL DepthScanner renders per frame in an
+interactive GUI loop; no published number, but the pipeline reprocesses
+whole logs (hundreds of frames x masks + depth). This measures frames/sec of
+the jitted rasterizer at 640x480 for a realistic TSDF-scale mesh.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from pdc_tpu.data.synthetic import SyntheticScene, make_orbit_pose
+    from pdc_tpu.pipeline.renderer import render_depth_from_mesh
+    from pdc_tpu.utils.compilation_cache import enable as _cc
+
+    _cc()
+    assert jax.devices()[0].platform == "tpu"
+    results = {"device": str(jax.devices()[0])}
+
+    H, W = 480, 640
+    # fine triangulation ~ TSDF voxel scale: ~0.6M faces
+    scene = SyntheticScene(width=W, height=H)
+    verts, faces = scene.fusion_mesh(plane_step=0.004, object_step=0.002)
+    results["num_faces"] = int(len(faces))
+    results["num_vertices"] = int(len(verts))
+    log(f"mesh: {len(verts)} verts, {len(faces)} faces")
+
+    verts_d = jax.device_put(verts)
+    faces_d = jax.device_put(faces)
+    K = jnp.asarray(scene.K, jnp.float32)
+
+    # K frames per dispatch (scan over poses) for honest device timing
+    poses = np.stack([make_orbit_pose(0.3 * i).astype(np.float32)
+                      for i in range(8)])
+
+    @jax.jit
+    def render_all(verts, faces, poses):
+        def body(c, pose):
+            d = render_depth_from_mesh(verts, faces, pose, K, H, W)
+            return c, jnp.sum(d)
+        _, s = jax.lax.scan(body, 0, poses)
+        return jnp.sum(s)
+
+    t0 = time.perf_counter()
+    float(render_all(verts_d, faces_d, jnp.asarray(poses)))
+    log(f"compile+first: {time.perf_counter()-t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(render_all(verts_d, faces_d, jnp.asarray(poses)))
+        times.append(time.perf_counter() - t0)
+    ms = min(times) / len(poses) * 1e3
+    results["render_ms_per_frame"] = round(ms, 2)
+    results["frames_per_sec"] = round(1e3 / ms, 1)
+    log(f"{ms:.2f} ms/frame ({1e3/ms:.0f} frames/s) at {len(faces)} faces")
+    print(json.dumps(results, indent=1))
+
+
+if __name__ == "__main__":
+    main()
