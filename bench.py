@@ -34,9 +34,10 @@ def main():
     import jax.numpy as jnp
 
     from pdc_tpu.models.dcn import build_backbone
-    from pdc_tpu.utils.compilation_cache import maybe_enable_from_env
+    from pdc_tpu.utils.compilation_cache import enable
 
-    maybe_enable_from_env()
+    enable()  # persistent compile cache: first bench run pays the ~10 min
+    # tunnel compile once; later runs (and the driver's) reuse it
     platform = jax.devices()[0].platform
     on_tpu = platform == "tpu"
 
