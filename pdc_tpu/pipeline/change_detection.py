@@ -203,16 +203,24 @@ class ChangeDetection:
         self.depth_threshold = depth_threshold
         self.splat_radius = splat_radius
         self.raster_tile = raster_tile
+        self.set_crop_box(crop_box)
+
+    def set_crop_box(self, crop_box: Optional[CropBox]):
+        """(Re)apply the foreground crop — keeps the point and face views
+        consistent (callers must not poke ``_fg_points`` directly)."""
+        self.crop_box = crop_box
         if crop_box is None:
             self._fg_points, self._fg_faces = self.points, self.faces
         elif self.faces is None:
             self._fg_points, self._fg_faces = crop_box.filter(self.points), None
         else:
             # keep all vertices (face indices stay valid); crop by FACES
-            # whose three vertices all sit inside the box
+            # with any vertex inside the box — VTK's crop clips triangles at
+            # the boundary, so keeping boundary-straddling faces (slight
+            # dilation) is closer than dropping them (a ring of erosion)
             inside = crop_box.contains(self.points)
             self._fg_points = self.points
-            self._fg_faces = self.faces[np.all(inside[self.faces], axis=1)]
+            self._fg_faces = self.faces[np.any(inside[self.faces], axis=1)]
 
     @staticmethod
     def from_data_folder(processed_folder: str, crop_box: Optional[CropBox] = None,

@@ -101,7 +101,7 @@ class TSDFReconstruction:
             faces = self.faces
             if cropped and self.crop_box is not None:
                 inside = self.crop_box.contains(self._all_points)
-                faces = faces[np.all(inside[faces], axis=1)]
+                faces = faces[np.any(inside[faces], axis=1)]
             d = render_depth_from_mesh(
                 jnp.asarray(self._all_points), jnp.asarray(faces), pose, K, H, W)
         else:

@@ -76,8 +76,7 @@ def run_change_detection_on_scene(processed_dir: str,
         if save_fitted_crop_box:
             save_yaml(crop_box.to_station_config(),
                       os.path.join(processed_dir, "crop_box.yaml"))
-    cd.crop_box = crop_box
-    cd._fg_points = crop_box.filter(cd.points)
+    cd.set_crop_box(crop_box)
 
     n = cd.run(structure)
     if render_full_depth:

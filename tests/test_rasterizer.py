@@ -126,8 +126,8 @@ def test_ply_without_faces(tmp_path):
 
 
 def test_change_detection_uses_mesh(tmp_path):
-    """from_data_folder picks up faces; crop-box filtering keeps faces whose
-    vertices all sit inside."""
+    """from_data_folder picks up faces; crop-box filtering keeps faces with
+    any vertex inside (boundary triangles survive, as with VTK clipping)."""
     from pdc_tpu.pipeline.change_detection import ChangeDetection, CropBox
 
     verts, faces = _quad(lambda x, y: 1.5)
