@@ -111,13 +111,52 @@ int decode_png_mask8(const char* path, uint8_t* out, int expect_h, int expect_w)
 }
 
 // ---------------------------------------------------------------------------
-// worker pool for batch decode
+// single-image encoders (the preprocessing pipeline writes hundreds of mask
+// + depth PNGs per log; PIL writes are serial on the host)
+// ---------------------------------------------------------------------------
+
+// Encode an 8-bit grayscale image (masks, values as given).
+int encode_png_gray8(const char* path, const uint8_t* data, int h, int w) {
+  png_image image;
+  memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  image.width = (png_uint_32)w;
+  image.height = (png_uint_32)h;
+  image.format = PNG_FORMAT_GRAY;
+  return png_image_write_to_file(&image, path, 0, data, 0, nullptr) ? 0 : -4;
+}
+
+// Encode a 16-bit grayscale (depth, mm) image — the inverse of
+// decode_png_gray16 (PNG_FORMAT_LINEAR_Y passes 16-bit values through).
+int encode_png_gray16(const char* path, const uint16_t* data, int h, int w) {
+  png_image image;
+  memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  image.width = (png_uint_32)w;
+  image.height = (png_uint_32)h;
+  image.format = PNG_FORMAT_LINEAR_Y;
+  return png_image_write_to_file(&image, path, 0, data, 0, nullptr) ? 0 : -4;
+}
+
+// Encode an 8-bit RGB image.
+int encode_png_rgb8(const char* path, const uint8_t* data, int h, int w) {
+  png_image image;
+  memset(&image, 0, sizeof(image));
+  image.version = PNG_IMAGE_VERSION;
+  image.width = (png_uint_32)w;
+  image.height = (png_uint_32)h;
+  image.format = PNG_FORMAT_RGB;
+  return png_image_write_to_file(&image, path, 0, data, 0, nullptr) ? 0 : -4;
+}
+
+// ---------------------------------------------------------------------------
+// worker pool for batch decode/encode
 // ---------------------------------------------------------------------------
 
 struct Task {
   const char* path;
   void* out;
-  int kind;  // 0 = rgb8, 1 = gray16, 2 = mask8
+  int kind;  // 0 = rgb8, 1 = gray16, 2 = mask8; +3 = the encode counterparts
   int h, w;
   std::atomic<int>* err;
   std::atomic<int>* remaining;
@@ -161,6 +200,9 @@ class Pool {
         case 0: rc = decode_png_rgb8(t.path, (uint8_t*)t.out, t.h, t.w); break;
         case 1: rc = decode_png_gray16(t.path, (uint16_t*)t.out, t.h, t.w); break;
         case 2: rc = decode_png_mask8(t.path, (uint8_t*)t.out, t.h, t.w); break;
+        case 3: rc = encode_png_rgb8(t.path, (const uint8_t*)t.out, t.h, t.w); break;
+        case 4: rc = encode_png_gray16(t.path, (const uint16_t*)t.out, t.h, t.w); break;
+        case 5: rc = encode_png_gray8(t.path, (const uint8_t*)t.out, t.h, t.w); break;
         default: rc = -100;
       }
       if (rc != 0) t.err->store(rc);
@@ -205,6 +247,14 @@ int decode_batch(const char** paths, const int* kinds, void** outs, int n,
   }
   while (remaining.load() > 0) std::this_thread::yield();
   return err.load();
+}
+
+// Encode a batch in parallel (kinds use the encode codes 3/4/5; ins are the
+// per-image source buffers). Blocks until all writes finish; returns 0 or
+// the first nonzero encoder error.
+int encode_batch(const char** paths, const int* kinds, void** ins, int n,
+                 int h, int w) {
+  return decode_batch(paths, kinds, ins, n, h, w);
 }
 
 }  // extern "C"

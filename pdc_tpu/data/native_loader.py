@@ -21,6 +21,10 @@ import numpy as np
 KIND_RGB8 = 0
 KIND_GRAY16 = 1
 KIND_MASK8 = 2
+# encoder counterparts (write instead of read)
+KIND_ENC_RGB8 = 3
+KIND_ENC_GRAY16 = 4
+KIND_ENC_GRAY8 = 5
 
 _NATIVE_DIR = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
@@ -63,6 +67,9 @@ def _load_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int,
         ]
         lib.decode_batch.restype = ctypes.c_int
+        if hasattr(lib, "encode_batch"):  # older .so builds lack encoders
+            lib.encode_batch.argtypes = lib.decode_batch.argtypes
+            lib.encode_batch.restype = ctypes.c_int
         lib.loader_init(max(os.cpu_count() or 4, 4))
         _lib = lib
         return _lib
@@ -114,6 +121,46 @@ def _decode_batch_pil(items):
             arr[...] = np.asarray(img).astype(np.uint16)
         else:
             arr[...] = (np.asarray(img) > 0).astype(np.uint8)
+
+
+def encode_batch(items: Sequence[Tuple[str, int, np.ndarray]],
+                 height: int, width: int) -> None:
+    """Write ``(path, kind, array)`` triples in parallel (the encoder
+    counterpart of :func:`decode_batch` — the preprocessing pipeline writes
+    hundreds of mask/depth PNGs per log). Kinds: ``KIND_ENC_RGB8`` (uint8
+    [H,W,3]), ``KIND_ENC_GRAY16`` (uint16 [H,W]), ``KIND_ENC_GRAY8`` (uint8
+    [H,W]). PIL fallback when the library is unavailable."""
+    lib = _load_lib()
+    if lib is None or not hasattr(lib, "encode_batch"):
+        _encode_batch_pil(items)
+        return
+
+    n = len(items)
+    arrs = [np.ascontiguousarray(a) for _, _, a in items]
+    paths = (ctypes.c_char_p * n)(*[p.encode() for p, _, _ in items])
+    kinds = (ctypes.c_int * n)(*[k for _, k, _ in items])
+    ins = (ctypes.c_void_p * n)()
+    for i, ((_, kind, _), arr) in enumerate(zip(items, arrs)):
+        if kind == KIND_ENC_RGB8:
+            assert arr.dtype == np.uint8 and arr.shape == (height, width, 3)
+        elif kind == KIND_ENC_GRAY16:
+            assert arr.dtype == np.uint16 and arr.shape == (height, width)
+        else:
+            assert arr.dtype == np.uint8 and arr.shape == (height, width)
+        ins[i] = arr.ctypes.data_as(ctypes.c_void_p).value
+    rc = lib.encode_batch(paths, kinds, ins, n, height, width)
+    if rc != 0:
+        raise RuntimeError(f"native encode_batch failed with code {rc}")
+
+
+def _encode_batch_pil(items):
+    from PIL import Image
+
+    for path, kind, arr in items:
+        if kind == KIND_ENC_GRAY16:
+            Image.fromarray(np.asarray(arr, np.uint16), mode="I;16").save(path)
+        else:
+            Image.fromarray(np.asarray(arr)).save(path)
 
 
 def load_scene_frames(structure, indices: List[int], height: int, width: int):

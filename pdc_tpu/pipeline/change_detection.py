@@ -276,39 +276,48 @@ class ChangeDetection:
     # -- whole-scene batch (reference run(), :336-408) -------------------------------
 
     def run(self, structure, pose_map=None, save: bool = True):
-        """Write %06d_mask.png + %06d_depth_cropped.png for every frame."""
-        from PIL import Image
+        """Write %06d_mask.png + %06d_depth_cropped.png for every frame
+        (writes go through the parallel native PNG encoder pool)."""
+        from pdc_tpu.data.native_loader import (
+            KIND_ENC_GRAY8, KIND_ENC_GRAY16, encode_batch)
 
         if pose_map is None:
             pose_map = structure.load_pose_data()
         os.makedirs(structure.masks_dir, exist_ok=True)
         os.makedirs(structure.rendered_images_dir, exist_ok=True)
+        writes = []
         for idx in sorted(pose_map.keys()):
             mask, depth_fg = self.compute_mask(pose_map[idx])
             if save:
-                Image.fromarray(mask * 255).save(
-                    os.path.join(structure.masks_dir, "%06d_mask.png" % idx)
-                )
+                writes.append((
+                    os.path.join(structure.masks_dir, "%06d_mask.png" % idx),
+                    KIND_ENC_GRAY8, (mask * 255).astype(np.uint8)))
                 depth_mm = np.clip(depth_fg * DEPTH_IM_SCALE, 0, 65535).astype(np.uint16)
-                Image.fromarray(depth_mm, mode="I;16").save(
+                writes.append((
                     os.path.join(structure.rendered_images_dir,
-                                 "%06d_depth_cropped.png" % idx)
-                )
+                                 "%06d_depth_cropped.png" % idx),
+                    KIND_ENC_GRAY16, depth_mm))
+        if writes:
+            encode_batch(writes, self.H, self.W)
         return len(pose_map)
 
     def render_depth_images(self, structure, pose_map=None, save: bool = True):
         """Full-scene depth re-rendering (reference render_depth_images,
-        :410-454) -> %06d_depth.png."""
-        from PIL import Image
+        :410-454) -> %06d_depth.png (parallel native PNG writes)."""
+        from pdc_tpu.data.native_loader import KIND_ENC_GRAY16, encode_batch
 
         if pose_map is None:
             pose_map = structure.load_pose_data()
         os.makedirs(structure.rendered_images_dir, exist_ok=True)
+        writes = []
         for idx in sorted(pose_map.keys()):
             depth = self.render_depth(pose_map[idx])
             if save:
                 depth_mm = np.clip(depth * DEPTH_IM_SCALE, 0, 65535).astype(np.uint16)
-                Image.fromarray(depth_mm, mode="I;16").save(
-                    os.path.join(structure.rendered_images_dir, "%06d_depth.png" % idx)
-                )
+                writes.append((
+                    os.path.join(structure.rendered_images_dir, "%06d_depth.png" % idx),
+                    KIND_ENC_GRAY16, depth_mm,
+                ))
+        if writes:
+            encode_batch(writes, self.H, self.W)
         return len(pose_map)

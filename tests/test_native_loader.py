@@ -130,3 +130,57 @@ def test_prefetch_loader_error_after_good_batches():
             break
     assert got_error
     loader.stop()
+
+
+def test_native_encode_roundtrip(tmp_path):
+    """Parallel PNG encoders: write rgb/depth/mask batches, decode back
+    byte-identical (both through the native pool)."""
+    from pdc_tpu.data import native_loader as nl
+
+    h, w = 24, 32
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 255, (h, w, 3), np.uint8)
+    depth = rng.randint(0, 5000, (h, w)).astype(np.uint16)
+    mask = (rng.rand(h, w) > 0.5).astype(np.uint8) * 255
+
+    p_rgb = str(tmp_path / "f_rgb.png")
+    p_depth = str(tmp_path / "f_depth.png")
+    p_mask = str(tmp_path / "f_mask.png")
+    nl.encode_batch([
+        (p_rgb, nl.KIND_ENC_RGB8, rgb),
+        (p_depth, nl.KIND_ENC_GRAY16, depth),
+        (p_mask, nl.KIND_ENC_GRAY8, mask),
+    ], h, w)
+
+    rgb2 = np.empty_like(rgb)
+    depth2 = np.empty_like(depth)
+    mask2 = np.empty((h, w), np.uint8)
+    nl.decode_batch([
+        (p_rgb, nl.KIND_RGB8, rgb2),
+        (p_depth, nl.KIND_GRAY16, depth2),
+        (p_mask, nl.KIND_MASK8, mask2),
+    ], h, w)
+    np.testing.assert_array_equal(rgb2, rgb)
+    np.testing.assert_array_equal(depth2, depth)
+    np.testing.assert_array_equal(mask2, (mask > 0).astype(np.uint8))
+
+    # PIL agrees with the native encodings
+    from PIL import Image
+
+    np.testing.assert_array_equal(np.asarray(Image.open(p_rgb)), rgb)
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(p_depth)).astype(np.uint16), depth)
+
+
+def test_encode_batch_pil_fallback(tmp_path, monkeypatch):
+    from pdc_tpu.data import native_loader as nl
+
+    monkeypatch.setattr(nl, "_load_lib", lambda: None)
+    h, w = 8, 10
+    depth = np.arange(h * w, dtype=np.uint16).reshape(h, w) * 100
+    p = str(tmp_path / "d.png")
+    nl.encode_batch([(p, nl.KIND_ENC_GRAY16, depth)], h, w)
+    from PIL import Image
+
+    np.testing.assert_array_equal(
+        np.asarray(Image.open(p)).astype(np.uint16), depth)
