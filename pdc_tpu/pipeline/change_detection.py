@@ -261,17 +261,50 @@ class ChangeDetection:
             )
         return np.asarray(d)
 
-    def compute_mask(self, camera_to_world):
-        depth_fg = self.render_depth(camera_to_world, self._fg_points,
-                                     faces=self._fg_faces)
-        if self.background_points is None:
-            return compute_foreground_mask_using_crop_strategy(depth_fg), depth_fg
-        depth_bg = self.render_depth(camera_to_world, self.background_points,
-                                     faces=self.background_faces)
-        mask = compute_foreground_mask_from_depth_image_pair(
-            depth_fg, depth_bg, self.depth_threshold
+    def _render_depth_many(self, poses, points, faces):
+        """All poses in one dispatch ([P, H, W]); per-frame dispatch +
+        fetch round trips dominate wall time on a remote TPU runtime."""
+        from pdc_tpu.pipeline.renderer import (
+            render_depth_from_mesh_many,
+            render_depth_from_points_many,
         )
-        return mask, depth_fg
+
+        poses = np.asarray(poses, np.float32)
+        if faces is not None:
+            d = render_depth_from_mesh_many(
+                jnp.asarray(points), jnp.asarray(faces), jnp.asarray(poses),
+                jnp.asarray(self.K), self.H, self.W, tile=self.raster_tile)
+        else:
+            d = render_depth_from_points_many(
+                jnp.asarray(points), jnp.asarray(poses), jnp.asarray(self.K),
+                self.H, self.W, splat_radius=self.splat_radius)
+        return np.asarray(d)
+
+    def compute_mask(self, camera_to_world):
+        mask, depth_fg = self.compute_masks(
+            np.asarray(camera_to_world, np.float32)[None])
+        return mask[0], depth_fg[0]
+
+    def compute_masks(self, poses):
+        """Masks + foreground depth for a stack of poses, batched on device.
+
+        :param poses: [P, 4, 4]
+        :return: (masks [P, H, W] uint8, depth_fg [P, H, W] float32)
+        """
+        depth_fg = self._render_depth_many(poses, self._fg_points,
+                                           self._fg_faces)
+        if self.background_points is None:
+            masks = np.stack([
+                compute_foreground_mask_using_crop_strategy(d)
+                for d in depth_fg])
+            return masks, depth_fg
+        depth_bg = self._render_depth_many(poses, self.background_points,
+                                           self.background_faces)
+        masks = np.stack([
+            compute_foreground_mask_from_depth_image_pair(
+                f, b, self.depth_threshold)
+            for f, b in zip(depth_fg, depth_bg)])
+        return masks, depth_fg
 
     # -- whole-scene batch (reference run(), :336-408) -------------------------------
 
@@ -285,10 +318,12 @@ class ChangeDetection:
             pose_map = structure.load_pose_data()
         os.makedirs(structure.masks_dir, exist_ok=True)
         os.makedirs(structure.rendered_images_dir, exist_ok=True)
+        indices = sorted(pose_map.keys())
+        masks, depths_fg = self.compute_masks(
+            np.stack([pose_map[i] for i in indices]))
         writes = []
-        for idx in sorted(pose_map.keys()):
-            mask, depth_fg = self.compute_mask(pose_map[idx])
-            if save:
+        if save:
+            for idx, mask, depth_fg in zip(indices, masks, depths_fg):
                 writes.append((
                     os.path.join(structure.masks_dir, "%06d_mask.png" % idx),
                     KIND_ENC_GRAY8, (mask * 255).astype(np.uint8)))
@@ -309,10 +344,12 @@ class ChangeDetection:
         if pose_map is None:
             pose_map = structure.load_pose_data()
         os.makedirs(structure.rendered_images_dir, exist_ok=True)
+        indices = sorted(pose_map.keys())
+        depths = self._render_depth_many(
+            np.stack([pose_map[i] for i in indices]), self.points, self.faces)
         writes = []
-        for idx in sorted(pose_map.keys()):
-            depth = self.render_depth(pose_map[idx])
-            if save:
+        if save:
+            for idx, depth in zip(indices, depths):
                 depth_mm = np.clip(depth * DEPTH_IM_SCALE, 0, 65535).astype(np.uint16)
                 writes.append((
                     os.path.join(structure.rendered_images_dir, "%06d_depth.png" % idx),

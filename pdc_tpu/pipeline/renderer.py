@@ -150,6 +150,43 @@ def render_depth_from_mesh(vertices_world, faces, camera_to_world, K,
     return depth.reshape(height, width)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "splat_radius"))
+def render_depth_from_points_many(points_world, poses, K, height: int,
+                                  width: int, splat_radius: int = 1):
+    """:func:`render_depth_from_points` for a stack of poses in ONE dispatch
+    (lax.scan) — a whole scene's renders per host round trip.
+
+    :param poses: [P, 4, 4]
+    :return: [P, H, W] float32
+    """
+    def body(c, pose):
+        return c, render_depth_from_points(points_world, pose, K, height,
+                                           width, splat_radius=splat_radius)
+
+    _, depths = jax.lax.scan(body, 0, jnp.asarray(poses, jnp.float32))
+    return depths
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "tile", "chunk"))
+def render_depth_from_mesh_many(vertices_world, faces, poses, K, height: int,
+                                width: int, tile: int = 8,
+                                chunk: int = 65536):
+    """:func:`render_depth_from_mesh` for a stack of poses in ONE dispatch.
+
+    :param poses: [P, 4, 4]
+    :return: [P, H, W] float32
+    """
+    def body(c, pose):
+        return c, render_depth_from_mesh(vertices_world, faces, pose, K,
+                                         height, width, tile=tile,
+                                         chunk=chunk)
+
+    _, depths = jax.lax.scan(body, 0, jnp.asarray(poses, jnp.float32))
+    return depths
+
+
 def mesh_vertices_from_ply(path: str):
     """Vertices only (back-compat wrapper around :func:`read_ply_mesh`)."""
     return read_ply_mesh(path)[0]
