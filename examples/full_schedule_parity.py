@@ -154,6 +154,9 @@ def run_cell(name, spec, dataset, steps, W, H, out_dir, seed=0,
 
 
 def main():
+    from pdc_tpu.utils.compilation_cache import enable
+    enable()
+
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=3500)
     p.add_argument("--width", type=int, default=640)

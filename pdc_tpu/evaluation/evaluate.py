@@ -50,7 +50,7 @@ ACROSS_OBJECT_COLUMNS = [
 
 @jax.jit
 def _match_statistics_device(depth_a, depth_b, mask_b, uv_a, uv_b,
-                             pose_a, pose_b, res_a, res_b, K):
+                             pose_a, pose_b, res_a, res_b, K, K_b=None):
     """All per-match statistics for one image pair, vectorized over N matches.
 
     Mirrors ``compute_descriptor_match_statistics`` (evaluation.py:1006-1178)
@@ -59,8 +59,13 @@ def _match_statistics_device(depth_a, depth_b, mask_b, uv_a, uv_b,
     one [HW, N] distance-matrix program instead of a python loop.
 
     :param uv_a, uv_b: [N, 2] int32 ground-truth correspondences
+    :param K: intrinsics of camera a (and of camera b when ``K_b`` is None —
+        the same-scene case). Cross-scene pairs from cameras with different
+        intrinsics pass ``K_b`` so side-b unprojections are exact.
     :return: dict of [N] arrays
     """
+    if K_b is None:
+        K_b = K
     H, W, D = res_a.shape
     N = uv_a.shape[0]
     HW = H * W
@@ -133,14 +138,14 @@ def _match_statistics_device(depth_a, depth_b, mask_b, uv_a, uv_b,
     z_pred = depth_at(depth_b, uv_pred)
     z_pred_masked = depth_at(depth_b, uv_pred_masked)
 
-    def pos3d(uv, z, pose):
-        cam = unproject_to_camera(uv.astype(jnp.float32), z, K)
+    def pos3d(uv, z, pose, Kside):
+        cam = unproject_to_camera(uv.astype(jnp.float32), z, Kside)
         return transform_points(pose, cam)
 
-    p_a = pos3d(uv_a, z_a, pose_a)
-    p_b = pos3d(uv_b, z_b, pose_b)
-    p_pred = pos3d(uv_pred, z_pred, pose_b)
-    p_pred_masked = pos3d(uv_pred_masked, z_pred_masked, pose_b)
+    p_a = pos3d(uv_a, z_a, pose_a, K)
+    p_b = pos3d(uv_b, z_b, pose_b, K_b)
+    p_pred = pos3d(uv_pred, z_pred, pose_b, K_b)
+    p_pred_masked = pos3d(uv_pred_masked, z_pred_masked, pose_b, K_b)
 
     is_valid = z_pred > 0
     is_valid_masked = z_pred_masked > 0
@@ -517,15 +522,33 @@ class DenseCorrespondenceEvaluation:
     @staticmethod
     def _quantitative_sweep_fused(dataset, pair_list, images,
                                   num_matches: int,
-                                  padded_num_attempts: int = 2000):
+                                  padded_num_attempts: int = 2000,
+                                  pair_chunk: int = 128):
         """Whole-sweep statistics in one device program: per pair, generate
         correspondences, compact the first ``num_matches`` valid ones with a
         stable argsort (replacing the host-side ``np.where`` between the two
         dispatches of the per-pair path), and run the [HW, N] statistics —
         all under one ``lax.scan``, fetched in one host round trip. Row
         semantics identical to the per-pair path (verified by
-        tests/test_evaluation_fused.py)."""
+        tests/test_evaluation_fused.py).
+
+        The device footprint (stacked depth/mask frames + the chunk's unique
+        descriptor images) grows linearly with the number of pairs, so sweeps
+        larger than ``pair_chunk`` run as sequential chunks — order and RNG
+        are per-pair, so chunking does not change any row."""
         import pandas as pd
+
+        if len(pair_list) > pair_chunk:
+            frames = [
+                DenseCorrespondenceEvaluation._quantitative_sweep_fused(
+                    dataset, pair_list[i:i + pair_chunk],
+                    {k: v for k, v in images.items()
+                     if k in {(s, idx) for s, ia, ib, _ in
+                              pair_list[i:i + pair_chunk] for idx in (ia, ib)}},
+                    num_matches, padded_num_attempts, pair_chunk)
+                for i in range(0, len(pair_list), pair_chunk)
+            ]
+            return pd.concat(frames, ignore_index=True)
 
         # stack unique descriptor images once; per-pair gathers by index
         unique = sorted({(s, i) for s, ia, ib, _ in pair_list
@@ -561,6 +584,9 @@ class DenseCorrespondenceEvaluation:
             "ia": jnp.asarray(ias, jnp.int32),
             "ib": jnp.asarray(ibs, jnp.int32),
         }
+        nbytes = int(res_stack.nbytes) + sum(int(v.nbytes) for v in xs.values())
+        logger.debug("fused sweep chunk: %d pairs, ~%.2f GB on device",
+                     len(pair_list), nbytes / 1e9)
         run = _fused_sweep_program(num_matches, padded_num_attempts)
         stats_np = jax.device_get(run(res_stack, xs))
 
@@ -606,7 +632,11 @@ class DenseCorrespondenceEvaluation:
             scene_b, idx_b = ib["scene_name"], int(ib["image_idx"])
             rgb_a, depth_a, mask_a, pose_a = dataset.get_rgbd_mask_pose(scene_a, idx_a)
             rgb_b, depth_b, mask_b, pose_b = dataset.get_rgbd_mask_pose(scene_b, idx_b)
-            K = dataset.get_scene(scene_a).K
+            # per-side intrinsics: cross-scene pairs can come from cameras
+            # with different K (reference evaluation.py:413 uses one camera
+            # matrix; per-side is exact)
+            K_a = dataset.get_scene(scene_a).K
+            K_b = dataset.get_scene(scene_b).K
             uv_a = np.asarray([[p["u"], p["v"]] for p in ia["pixels"]], np.int32)
             uv_b = np.asarray([[p["u"], p["v"]] for p in ib["pixels"]], np.int32)
             res_a = images[(scene_a, idx_a)]
@@ -615,7 +645,8 @@ class DenseCorrespondenceEvaluation:
                 jnp.asarray(depth_a), jnp.asarray(depth_b), jnp.asarray(mask_b),
                 jnp.asarray(uv_a), jnp.asarray(uv_b),
                 jnp.asarray(pose_a, jnp.float32), jnp.asarray(pose_b, jnp.float32),
-                res_a, res_b, jnp.asarray(K, jnp.float32),
+                res_a, res_b, jnp.asarray(K_a, jnp.float32),
+                jnp.asarray(K_b, jnp.float32),
             )
             stats = {k: np.asarray(v) for k, v in stats.items()}
             for i in range(uv_a.shape[0]):

@@ -68,11 +68,9 @@ def single_image_pair_cross_scene_keypoints_quantitative_analysis(
     if res_b is None:
         res_b = dcn.forward_on_img(rgb_b)
 
+    # per-side intrinsics: each side unprojects with its own scene's K
     K_a = dataset.get_scene(scene_a).K
     K_b = dataset.get_scene(scene_b).K
-    if not np.allclose(np.asarray(K_a), np.asarray(K_b)):
-        logger.warning("different camera intrinsics between scenes %s and %s; "
-                       "using scene a's K", scene_a, scene_b)
 
     kps_a = keypoint_data_a["keypoints"]
     kps_b = keypoint_data_b["keypoints"]
@@ -92,20 +90,22 @@ def single_image_pair_cross_scene_keypoints_quantitative_analysis(
     orderings = [
         ("standard", depth_a, depth_b, mask_b, pose_a, pose_b, res_a, res_b,
          uv_a_list, uv_b_list, scene_a, scene_b, idx_a, idx_b,
-         keypoint_data_a.get("object_id"), keypoint_data_b.get("object_id")),
+         keypoint_data_a.get("object_id"), keypoint_data_b.get("object_id"),
+         K_a, K_b),
         ("reverse", depth_b, depth_a, mask_a, pose_b, pose_a, res_b, res_a,
          uv_b_list, uv_a_list, scene_b, scene_a, idx_b, idx_a,
-         keypoint_data_b.get("object_id"), keypoint_data_a.get("object_id")),
+         keypoint_data_b.get("object_id"), keypoint_data_a.get("object_id"),
+         K_b, K_a),
     ]
 
     rows = []
     for (order, d1, d2, m2, p1, p2, r1, r2, uv1, uv2,
-         sn1, sn2, i1, i2, oid1, oid2) in orderings:
+         sn1, sn2, i1, i2, oid1, oid2, K1, K2) in orderings:
         stats = _match_statistics_device(
             jnp.asarray(d1), jnp.asarray(d2), jnp.asarray(m2),
             jnp.asarray(uv1), jnp.asarray(uv2),
             jnp.asarray(p1, jnp.float32), jnp.asarray(p2, jnp.float32),
-            r1, r2, jnp.asarray(K_a, jnp.float32),
+            r1, r2, jnp.asarray(K1, jnp.float32), jnp.asarray(K2, jnp.float32),
         )
         stats = {k: np.asarray(v) for k, v in stats.items()}
         for i, name in enumerate(kp_names):
@@ -193,7 +193,7 @@ def _evaluate_keypoints_fused(dcn, dataset, labels):
     def clip_uv(kp):
         return dcn.clip_pixel_to_image_size_and_round((kp["u"], kp["v"]))
 
-    entries = []  # (i1, i2, Ka_idx, uv1, uv2, kp_names)
+    entries = []  # (i1, i2, uv1, uv2, meta, ordering)
     num_pairs = 0
     for a, b in itertools.combinations(labels, 2):
         num_pairs += 1
@@ -206,27 +206,22 @@ def _evaluate_keypoints_fused(dcn, dataset, labels):
         ib = kidx[(b["scene_name"], int(b["image_idx"]))]
         uv_a = np.asarray([clip_uv(a["keypoints"][n]) for n in kp_names], np.int32)
         uv_b = np.asarray([clip_uv(b["keypoints"][n]) for n in kp_names], np.int32)
-        if not np.allclose(Ks[ia], Ks[ib]):
-            logger.warning(
-                "different camera intrinsics between scenes %s and %s; "
-                "using scene a's K", a["scene_name"], b["scene_name"])
         meta = (a, b, kp_names)
-        entries.append((ia, ib, ia, uv_a, uv_b, meta, "standard"))
-        entries.append((ib, ia, ia, uv_b, uv_a, meta, "reverse"))
+        entries.append((ia, ib, uv_a, uv_b, meta, "standard"))
+        entries.append((ib, ia, uv_b, uv_a, meta, "reverse"))
 
-    km = max(len(e[3]) for e in entries)
+    km = max(len(e[2]) for e in entries)
     if km == 0:
         return pd.DataFrame([], columns=EVAL_COLUMNS)
     uv1 = np.zeros((len(entries), km, 2), np.int32)
     uv2 = np.zeros((len(entries), km, 2), np.int32)
-    for j, (_, _, _, a1, a2, _, _) in enumerate(entries):
+    for j, (_, _, a1, a2, _, _) in enumerate(entries):
         uv1[j, : len(a1)] = a1
         uv2[j, : len(a2)] = a2
 
     xs = {
         "i1": jnp.asarray([e[0] for e in entries], jnp.int32),
         "i2": jnp.asarray([e[1] for e in entries], jnp.int32),
-        "ik": jnp.asarray([e[2] for e in entries], jnp.int32),
         "uv1": jnp.asarray(uv1),
         "uv2": jnp.asarray(uv2),
     }
@@ -236,11 +231,13 @@ def _evaluate_keypoints_fused(dcn, dataset, labels):
     @jax.jit
     def run(res_stack, depths, masks, poses, Ks, xs):
         def body(carry, x):
+            # per-side intrinsics: each image unprojects with its own K
             stats = dict(_match_statistics_device(
                 depths[x["i1"]], depths[x["i2"]], masks[x["i2"]],
                 x["uv1"], x["uv2"],
                 poses[x["i1"]], poses[x["i2"]],
-                res_stack[x["i1"]], res_stack[x["i2"]], Ks[x["ik"]]))
+                res_stack[x["i1"]], res_stack[x["i2"]],
+                Ks[x["i1"]], Ks[x["i2"]]))
             stats.pop("uv_b_pred", None)
             stats.pop("uv_b_pred_masked", None)
             return carry, stats
@@ -252,7 +249,7 @@ def _evaluate_keypoints_fused(dcn, dataset, labels):
                                   d_Ks, xs))
 
     rows = []
-    for j, (_, _, _, _, _, (a, b, kp_names), order) in enumerate(entries):
+    for j, (_, _, _, _, (a, b, kp_names), order) in enumerate(entries):
         if order == "standard":
             sn1, sn2 = a["scene_name"], b["scene_name"]
             i1, i2 = int(a["image_idx"]), int(b["image_idx"])

@@ -84,16 +84,19 @@ def pooled_non_match_loss_from_rows(
     distance/hinge/collision chain in HBM in both passes (~45 ms of the
     133 ms train step at B=8, measured by live-vs-constant index ablation).
     The XLA path remains the reference implementation and the off-TPU path.
+    The dispatch uses ``lax.platform_dependent`` so it follows the actual
+    lowering platform (``jit(backend=...)``, AOT lowering), not whatever
+    ``jax.devices()[0]`` happens to be at trace time.
     """
     import jax
 
-    if jax.devices()[0].platform == "tpu":
+    def _pallas_path(da, db, matches_uv_b, matches_valid, pool_b, pool_valid):
         from pdc_tpu.ops.pallas_loss import pooled_hinge
 
         W = image_width
         pool_u = (pool_b % W).astype(jnp.float32)
         pool_v = (pool_b // W).astype(jnp.float32)
-        loss_sum, num_hard = pooled_hinge(
+        return pooled_hinge(
             da, db,
             matches_uv_b[:, 0].astype(jnp.float32),
             matches_uv_b[:, 1].astype(jnp.float32),
@@ -101,8 +104,41 @@ def pooled_non_match_loss_from_rows(
             pool_u, pool_v, pool_valid.astype(jnp.float32),
             float(M), bool(use_l2_pixel_loss), float(M_pixel),
         )
-        return loss_sum, num_hard
 
+    def _xla_path(da, db, matches_uv_b, matches_valid, pool_b, pool_valid):
+        loss_sum, num_hard = _pooled_hinge_xla(
+            da, db, matches_uv_b, matches_valid, pool_b, pool_valid,
+            image_width, M=M, use_l2_pixel_loss=use_l2_pixel_loss,
+            M_pixel=M_pixel)
+        return loss_sum, num_hard.astype(jnp.float32)
+
+    if not use_pallas_on_tpu():
+        return _xla_path(da, db, matches_uv_b, matches_valid, pool_b,
+                         pool_valid)
+    return jax.lax.platform_dependent(
+        da, db, matches_uv_b, matches_valid, pool_b, pool_valid,
+        tpu=_pallas_path, default=_xla_path,
+    )
+
+
+_USE_PALLAS = True
+
+
+def use_pallas_on_tpu(enabled: bool | None = None) -> bool:
+    """Get/set the explicit opt-out for the Pallas loss kernel on TPU
+    (``use_pallas_on_tpu(False)`` forces the XLA formulation everywhere)."""
+    global _USE_PALLAS
+    if enabled is not None:
+        _USE_PALLAS = bool(enabled)
+    return _USE_PALLAS
+
+
+def _pooled_hinge_xla(
+    da, db, matches_uv_b, matches_valid, pool_b, pool_valid,
+    image_width: int, M: float = 0.5,
+    use_l2_pixel_loss: bool = False, M_pixel: float = 50.0,
+):
+    """Pure-XLA pooled hinge (reference implementation / non-TPU path)."""
     # [Nm, P] squared distances on the MXU
     cross = jnp.dot(da, db.T, preferred_element_type=jnp.float32)
     d2 = (

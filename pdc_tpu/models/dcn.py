@@ -331,8 +331,10 @@ def find_latest_checkpoint(model_folder: str, iteration: Optional[int] = None,
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         return path
-    files = sorted(f for f in glob.glob(os.path.join(model_folder, "*" + suffix))
-                   if not f.endswith(".opt"))
+    # glob for the step-indexed pattern explicitly so sidecars that happen to
+    # share the suffix (e.g. '000100.ckpt.opt' matched by suffix='.opt') can
+    # never be picked as a model checkpoint
+    files = sorted(glob.glob(os.path.join(model_folder, "[0-9]" * 6 + suffix)))
     if not files:
         raise FileNotFoundError(f"no {suffix} files in {model_folder}")
     return files[-1]

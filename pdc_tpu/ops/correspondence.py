@@ -264,9 +264,11 @@ def make_blind_non_matches(
     k_a, k_b = jax.random.split(key)
 
     mask_a_flat = (jnp.asarray(mask_a).reshape(-1) != 0)
-    # Scatter the matched pixels out of the candidate set.
+    # Scatter the matched pixels out of the candidate set. ``max`` (scatter-
+    # or) rather than ``set``: invalid rows are clamped to index 0 and would
+    # otherwise race a True write there with unspecified duplicate ordering.
     guarded_idx = jnp.where(matches_valid, matches_a_flat, 0)
-    matched = jnp.zeros((H * W,), jnp.bool_).at[guarded_idx].set(matches_valid)
+    matched = jnp.zeros((H * W,), jnp.bool_).at[guarded_idx].max(matches_valid)
     candidates = mask_a_flat & ~matched
 
     from pdc_tpu.ops.sampling import sample_flat_from_mask
@@ -308,8 +310,9 @@ def make_blind_non_matches_perm(
     blind_a = jnp.where(flip_a, hw - 1 - raw_a, raw_a)
     blind_b = jnp.where(flip_b, hw - 1 - raw_b, raw_b)
 
-    # matched-pixel bitmap in (post-flip) image-a coordinates
+    # matched-pixel bitmap in (post-flip) image-a coordinates; ``max`` so a
+    # True write at clamped index 0 wins over invalid rows' False writes
     guarded_idx = jnp.where(matches_valid, matches_a_flat, 0)
-    matched = jnp.zeros((hw,), jnp.bool_).at[guarded_idx].set(matches_valid)
+    matched = jnp.zeros((hw,), jnp.bool_).at[guarded_idx].max(matches_valid)
     hit = jnp.take(matched, blind_a, axis=0)
     return blind_a, blind_b, ok_a & ok_b & ~hit

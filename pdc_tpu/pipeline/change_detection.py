@@ -177,7 +177,7 @@ class ChangeDetection:
                  depth_threshold: float = 0.01, splat_radius: int = 1,
                  faces: Optional[np.ndarray] = None,
                  background_faces: Optional[np.ndarray] = None,
-                 raster_tile: int = 8):
+                 raster_tile: Optional[int] = None):
         """
         :param points_world: scene geometry as world-frame points (TSDF mesh
             vertices)
@@ -186,6 +186,10 @@ class ChangeDetection:
             reference's VTK mesh rendering) instead of point splats
         :param background_points: geometry of the background-only scene; if
             None, the crop strategy is used
+        :param raster_tile: per-triangle rasterization block size; None
+            (default) picks the smallest power of two covering the largest
+            visible triangle per render call and warns if faces would
+            truncate (renderer.pick_raster_tile)
         """
         self.points = np.asarray(points_world, np.float32)
         self.faces = None if faces is None else np.asarray(faces, np.int32)
@@ -251,7 +255,8 @@ class ChangeDetection:
             d = render_depth_from_mesh(
                 jnp.asarray(pts), jnp.asarray(faces),
                 jnp.asarray(camera_to_world, jnp.float32),
-                jnp.asarray(self.K), self.H, self.W, tile=self.raster_tile,
+                jnp.asarray(self.K), self.H, self.W,
+                tile=self._tile_for(pts, faces, camera_to_world),
             )
         else:
             d = render_depth_from_points(
@@ -273,12 +278,22 @@ class ChangeDetection:
         if faces is not None:
             d = render_depth_from_mesh_many(
                 jnp.asarray(points), jnp.asarray(faces), jnp.asarray(poses),
-                jnp.asarray(self.K), self.H, self.W, tile=self.raster_tile)
+                jnp.asarray(self.K), self.H, self.W,
+                tile=self._tile_for(points, faces, poses))
         else:
             d = render_depth_from_points_many(
                 jnp.asarray(points), jnp.asarray(poses), jnp.asarray(self.K),
                 self.H, self.W, splat_radius=self.splat_radius)
         return np.asarray(d)
+
+    def _tile_for(self, points, faces, poses) -> int:
+        """Explicit ``raster_tile`` wins; otherwise auto-select from the
+        poses' projected triangle extents (and warn on truncation)."""
+        if self.raster_tile is not None:
+            return self.raster_tile
+        from pdc_tpu.pipeline.renderer import pick_raster_tile
+
+        return pick_raster_tile(points, faces, poses, self.K, self.H, self.W)
 
     def compute_mask(self, camera_to_world):
         mask, depth_fg = self.compute_masks(

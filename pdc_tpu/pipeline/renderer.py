@@ -187,6 +187,70 @@ def render_depth_from_mesh_many(vertices_world, faces, poses, K, height: int,
     return depths
 
 
+def projected_face_extents(vertices_world, faces, camera_to_world, K,
+                           height: int, width: int):
+    """Host-side screen-space bbox extent (max of width/height, px) of every
+    face under one pose. Faces with a vertex behind the camera or whose bbox
+    misses the viewport return 0 (the rasterizer culls / never shows them).
+    Used to detect tile truncation (the rasterizer only fills a static
+    ``tile`` x ``tile`` block per triangle)."""
+    import numpy as np
+
+    V = np.asarray(vertices_world, np.float64)
+    T = np.asarray(camera_to_world, np.float64)
+    R, t = T[:3, :3], T[:3, 3]
+    pts_cam = (V - t) @ R  # R^T (V - t)
+    z = pts_cam[:, 2]
+    proj = pts_cam @ np.asarray(K, np.float64).T
+    denom = np.where(np.abs(proj[:, 2]) < 1e-9, 1e-9, proj[:, 2])
+    u = proj[:, 0] / denom
+    v = proj[:, 1] / denom
+
+    f = np.asarray(faces, np.int64)
+    tu, tv, tz = u[f], v[f], z[f]
+    in_front = np.all(tz > 1e-6, axis=1)
+    u0, u1 = tu.min(axis=1), tu.max(axis=1)
+    v0, v1 = tv.min(axis=1), tv.max(axis=1)
+    on_screen = (u1 >= 0) & (u0 < width) & (v1 >= 0) & (v0 < height)
+    ext = np.maximum(u1 - u0, v1 - v0) + 1.0
+    return np.where(in_front & on_screen, ext, 0.0)
+
+
+def pick_raster_tile(vertices_world, faces, poses, K, height: int, width: int,
+                     min_tile: int = 8, max_tile: int = 64):
+    """Choose the smallest power-of-two ``tile`` covering every visible
+    triangle's screen bbox across ``poses`` (the z-buffer scatter cost scales
+    with tile^2, so auto-selection beats a blanket large tile). Logs a
+    warning with the truncated-face count when the needed tile exceeds
+    ``max_tile`` — the silent-truncation failure mode this guards against is
+    coarse/close meshes rendered with the TSDF-scale default."""
+    import logging
+
+    import numpy as np
+
+    poses = np.asarray(poses, np.float64)
+    if poses.ndim == 2:
+        poses = poses[None]
+    max_ext = 0.0
+    worst = None
+    for pose in poses:
+        ext = projected_face_extents(vertices_world, faces, pose, K,
+                                     height, width)
+        m = float(ext.max()) if ext.size else 0.0
+        if m > max_ext:
+            max_ext, worst = m, ext
+    tile = min_tile
+    while tile < max_ext and tile < max_tile:
+        tile *= 2
+    if max_ext > tile:
+        n_trunc = int((worst > tile).sum())
+        logging.getLogger(__name__).warning(
+            "mesh rasterization: %d faces project larger than the maximum "
+            "tile (%d px; largest %.0f px) and will render truncated — "
+            "subdivide the mesh or raise max_tile", n_trunc, tile, max_ext)
+    return tile
+
+
 def mesh_vertices_from_ply(path: str):
     """Vertices only (back-compat wrapper around :func:`read_ply_mesh`)."""
     return read_ply_mesh(path)[0]

@@ -142,6 +142,50 @@ def test_change_detection_uses_mesh(tmp_path):
     assert mask2.sum() == 0
 
 
+def test_auto_tile_covers_coarse_triangles():
+    """With raster_tile=None, ChangeDetection auto-picks a tile covering the
+    largest visible triangle — a coarse 2-triangle quad (screen extent ~20 px,
+    larger than the TSDF default tile=8) renders hole-free."""
+    from pdc_tpu.pipeline.change_detection import ChangeDetection
+    from pdc_tpu.pipeline.renderer import pick_raster_tile
+
+    verts, faces = _quad(lambda x, y: 1.5)
+    tile = pick_raster_tile(verts, faces, EYE, K, H, W)
+    assert tile >= 20  # quad spans ~20 x 14 px
+    cd = ChangeDetection(verts, K, H, W, faces=faces)  # raster_tile=None
+    _, depth_fg = cd.compute_mask(EYE)
+    inside = depth_fg[24, 24:41]
+    np.testing.assert_allclose(inside, 1.5, atol=1e-3)
+
+
+def test_pick_raster_tile_warns_on_truncation(caplog):
+    """Triangles larger than max_tile log the truncated-face count instead
+    of failing silently (the pre-round-3 behavior)."""
+    import logging
+
+    from pdc_tpu.pipeline.renderer import pick_raster_tile
+
+    verts, faces = _quad(lambda x, y: 1.5)
+    with caplog.at_level(logging.WARNING, "pdc_tpu.pipeline.renderer"):
+        tile = pick_raster_tile(verts, faces, EYE, K, H, W, max_tile=16)
+    assert tile == 16
+    assert any("render truncated" in r.message for r in caplog.records)
+
+
+def test_pick_raster_tile_ignores_offscreen_and_behind():
+    """Faces behind the camera or fully off-screen must not inflate the
+    tile (the rasterizer culls them anyway)."""
+    from pdc_tpu.pipeline.renderer import pick_raster_tile
+
+    behind = np.array([[-5, -5, -1.0], [5, -5, -1.0], [0, 5, -1.0]],
+                      np.float32)
+    offscreen = np.array([[50, 50, 1.0], [51, 50, 1.0], [50, 51, 1.0]],
+                         np.float32)
+    verts = np.concatenate([behind, offscreen])
+    faces = np.array([[0, 1, 2], [3, 4, 5]], np.int32)
+    assert pick_raster_tile(verts, faces, EYE, K, H, W) == 8
+
+
 def test_synthetic_fusion_mesh_pipeline(tmp_path):
     """End-to-end from disk: synthetic scene writes a triangulated
     fusion_mesh.ply; change detection loads it, rasterizes, and the mask
