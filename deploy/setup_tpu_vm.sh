@@ -37,6 +37,25 @@ echo ">> installing python deps on all workers"
   pip install -q flax optax numpy pyyaml pillow pandas matplotlib scipy
 '
 
+# Gated ImageNet-weights download (the reference backbone is always
+# ImageNet-pretrained, dense_correspondence_network.py:373-383; pdc_tpu makes
+# this an explicit opt-in because the checkpoint is a 87 MB external fetch).
+# Enable with PDC_PRETRAINED=1; training configs then set
+# dense_correspondence_network.backbone.pretrained: true.
+if [[ "${PDC_PRETRAINED:-0}" == "1" ]]; then
+  echo ">> fetching torchvision ImageNet checkpoints on all workers"
+  "${SSH[@]}" '
+    set -e
+    mkdir -p ~/.cache/pdc_tpu/pretrained
+    for m in resnet34-b627a593:resnet34 resnet50-0676ba61:resnet50; do
+      file="${m%%:*}"; name="${m##*:}"
+      [[ -f ~/.cache/pdc_tpu/pretrained/$name.pth ]] && continue
+      curl -fL -o ~/.cache/pdc_tpu/pretrained/$name.pth \
+        https://download.pytorch.org/models/$file.pth
+    done
+  '
+fi
+
 if [[ -n "$REPO_URL" ]]; then
   echo ">> cloning + building pdc_tpu on all workers"
   "${SSH[@]}" "

@@ -227,6 +227,25 @@ def _fused_sweep_program(num_matches: int, padded_num_attempts: int):
     return run
 
 
+def _sharded_sweep_program(num_matches: int, padded_num_attempts: int,
+                           mesh, data_axis: str):
+    """Mesh-parallel fused sweep: the pairs axis is sharded over
+    ``data_axis`` and every chip scans its own slice (the sweep is
+    embarrassingly parallel across pairs — SURVEY §2c's sharded-eval row).
+    Row-identical to the single-device program because each pair carries its
+    own RNG key; verified in ``dryrun_multichip`` and
+    tests/test_sharded_eval.py."""
+    from jax.sharding import PartitionSpec as P
+
+    from pdc_tpu.parallel.mesh import get_shard_map
+
+    inner = _fused_sweep_program(num_matches, padded_num_attempts)
+    mapped = get_shard_map()(inner, mesh=mesh,
+                             in_specs=(P(), P(data_axis)),
+                             out_specs=P(data_axis))
+    return jax.jit(mapped)
+
+
 @functools.lru_cache(maxsize=8)
 def _fused_across_object_program(num_queries: int):
     """Jitted scan-over-pairs program for the across-object sweep: sample
@@ -473,6 +492,7 @@ class DenseCorrespondenceEvaluation:
     def evaluate_network_quantitative(
         dcn, dataset, num_image_pairs: int = 100, num_matches_per_image_pair: int = 100,
         seed: int = 1, forward_batch_size: int = 16, fused: bool = True,
+        mesh=None, data_axis: str = "data",
     ):
         """Sample image pairs (pose-difference rejection) and accumulate the
         per-match DataFrame (reference evaluate_network, evaluation.py:475-527
@@ -481,7 +501,9 @@ class DenseCorrespondenceEvaluation:
         correspondence generation + statistics run as ONE device dispatch
         (lax.scan over pairs) and one fetch — the per-pair host loop pays
         2 dispatch round trips per pair, which dominates wall time on a
-        remote TPU runtime."""
+        remote TPU runtime. Pass ``mesh`` to shard the sweep's pairs axis
+        over its ``data_axis`` (row-identical output; each chip scans its
+        pair slice)."""
         import pandas as pd
 
         DCE = DenseCorrespondenceEvaluation
@@ -505,7 +527,8 @@ class DenseCorrespondenceEvaluation:
 
         if fused and pair_list:
             return DCE._quantitative_sweep_fused(
-                dataset, pair_list, images, num_matches_per_image_pair)
+                dataset, pair_list, images, num_matches_per_image_pair,
+                mesh=mesh, data_axis=data_axis)
 
         rows = []
         for scene_name, idx_a, idx_b, sub in pair_list:
@@ -523,7 +546,8 @@ class DenseCorrespondenceEvaluation:
     def _quantitative_sweep_fused(dataset, pair_list, images,
                                   num_matches: int,
                                   padded_num_attempts: int = 2000,
-                                  pair_chunk: int = 128):
+                                  pair_chunk: int = 128,
+                                  mesh=None, data_axis: str = "data"):
         """Whole-sweep statistics in one device program: per pair, generate
         correspondences, compact the first ``num_matches`` valid ones with a
         stable argsort (replacing the host-side ``np.where`` between the two
@@ -545,7 +569,8 @@ class DenseCorrespondenceEvaluation:
                     {k: v for k, v in images.items()
                      if k in {(s, idx) for s, ia, ib, _ in
                               pair_list[i:i + pair_chunk] for idx in (ia, ib)}},
-                    num_matches, padded_num_attempts, pair_chunk)
+                    num_matches, padded_num_attempts, pair_chunk,
+                    mesh=mesh, data_axis=data_axis)
                 for i in range(0, len(pair_list), pair_chunk)
             ]
             return pd.concat(frames, ignore_index=True)
@@ -587,8 +612,24 @@ class DenseCorrespondenceEvaluation:
         nbytes = int(res_stack.nbytes) + sum(int(v.nbytes) for v in xs.values())
         logger.debug("fused sweep chunk: %d pairs, ~%.2f GB on device",
                      len(pair_list), nbytes / 1e9)
-        run = _fused_sweep_program(num_matches, padded_num_attempts)
-        stats_np = jax.device_get(run(res_stack, xs))
+        if mesh is None:
+            run = _fused_sweep_program(num_matches, padded_num_attempts)
+            stats_np = jax.device_get(run(res_stack, xs))
+        else:
+            # pad the pairs axis to a multiple of the mesh size (replicating
+            # the last pair); padded rows are dropped after the fetch
+            n_dev = int(np.prod([mesh.shape[a] for a in ([data_axis]
+                                 if isinstance(data_axis, str) else data_axis)]))
+            P_real = len(pair_list)
+            pad = (-P_real) % n_dev
+            if pad:
+                xs = {k: jnp.concatenate(
+                    [v] + [v[-1:]] * pad, axis=0) for k, v in xs.items()}
+            run = _sharded_sweep_program(num_matches, padded_num_attempts,
+                                         mesh, data_axis)
+            stats_np = jax.device_get(run(res_stack, xs))
+            if pad:
+                stats_np = {k: v[:P_real] for k, v in stats_np.items()}
 
         rows = []
         for p, (scene_name, idx_a, idx_b, _) in enumerate(pair_list):
@@ -763,11 +804,16 @@ class DenseCorrespondenceEvaluation:
     def compute_descriptor_statistics_on_dataset(dcn, dataset, num_images: int = 100,
                                                  save_to_file: bool = True,
                                                  filename: Optional[str] = None,
-                                                 batch_size: int = 16):
+                                                 batch_size: int = 16,
+                                                 mesh=None,
+                                                 data_axis: str = "data"):
         """Per-channel min/max/mean over whole images and over masks, saved
         as descriptor_statistics.yaml (reference evaluation.py:2156-2304).
         Forwards + reductions run ``batch_size`` images per dispatch (the
-        per-image loop cost ~3 host round trips per image)."""
+        per-image loop cost ~3 host round trips per image). Pass ``mesh`` to
+        shard each batch's images over ``data_axis`` — forwards and
+        reductions are per-image, so GSPMD partitions them batch-wise and
+        the result is identical to the single-device pass."""
 
         @jax.jit
         def stats_batch(res, mask):
@@ -807,8 +853,21 @@ class DenseCorrespondenceEvaluation:
                 rgbs.append(dataset.rgb_image_to_tensor(rgb) if batched
                             else rgb)
                 masks.append(np.asarray(mask))
+            n_pad = 0
             if batched:
-                res = dcn.forward(jnp.asarray(np.stack(rgbs)))
+                imgs = np.stack(rgbs)
+                if mesh is not None:
+                    from jax.sharding import NamedSharding, PartitionSpec
+
+                    n_dev = mesh.shape[data_axis]
+                    n_pad = (-len(chunk)) % n_dev
+                    if n_pad:
+                        imgs = np.concatenate(
+                            [imgs] + [imgs[-1:]] * n_pad, axis=0)
+                        masks = masks + [masks[-1]] * n_pad
+                    sh = NamedSharding(mesh, PartitionSpec(data_axis))
+                    imgs = jax.device_put(jnp.asarray(imgs), sh)
+                res = dcn.forward(jnp.asarray(imgs))
             else:
                 res = jnp.stack([jnp.asarray(dcn.forward_on_img(r))
                                  for r in rgbs])

@@ -247,6 +247,10 @@ class DenseCorrespondenceNetwork:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         variables = module.init(rng, jnp.zeros((1, H, W, 3), jnp.float32), train=False)
+        if (config.get("backbone") or {}).get("pretrained"):
+            from pdc_tpu.models.torch_import import maybe_load_pretrained_backbone
+
+            variables = maybe_load_pretrained_backbone(variables, config)
 
         dcn = DenseCorrespondenceNetwork(
             module,

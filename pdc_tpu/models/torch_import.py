@@ -17,6 +17,7 @@ Works with a ``.pth`` file (torch.load) or any mapping of numpy arrays.
 
 from __future__ import annotations
 
+import os
 from typing import Dict, Mapping
 
 import numpy as np
@@ -106,6 +107,71 @@ def load_pretrained_backbone(dcn, pth_path: str):
         sd = sd.state_dict()
     dcn.variables = convert_torchvision_resnet(sd, dcn.variables)
     return dcn
+
+
+def resolve_pretrained_weights(net_config: Mapping):
+    """Resolve the ImageNet-pretrained backbone weights for a
+    ``dense_correspondence_network`` config block.
+
+    The reference backbone is ALWAYS ImageNet-pretrained
+    (dense_correspondence_network.py:373-383 passes pretrained=True); pdc_tpu
+    cannot ship the weights, so ``backbone.pretrained`` opts in explicitly:
+
+      * a path string -> used directly
+      * true -> $PDC_PRETRAINED_WEIGHTS, else
+        ~/.cache/pdc_tpu/pretrained/<resnetN>.pth (the file
+        deploy/setup_tpu_vm.sh's gated download step fetches)
+
+    :return: path string, or None when pretraining is not requested
+    :raises FileNotFoundError: pretrained requested but no weights found
+    """
+    import re
+
+    bb = dict(net_config.get("backbone", {}) or {})
+    spec = bb.get("pretrained", False)
+    if not spec:
+        return None
+    if isinstance(spec, str):
+        if os.path.exists(spec):
+            return spec
+        raise FileNotFoundError(
+            f"backbone.pretrained points at missing file: {spec}")
+    env = os.environ.get("PDC_PRETRAINED_WEIGHTS")
+    if env:
+        if os.path.exists(env):
+            return env
+        raise FileNotFoundError(
+            f"$PDC_PRETRAINED_WEIGHTS points at missing file: {env}")
+    name = bb.get("resnet_name", "Resnet34_8s").lower()
+    m = re.match(r"resnet(\d+)", name)
+    base = m.group(0) if m else name
+    cand = os.path.join(os.path.expanduser("~"), ".cache", "pdc_tpu",
+                        "pretrained", base + ".pth")
+    if os.path.exists(cand):
+        return cand
+    raise FileNotFoundError(
+        f"backbone.pretrained requested but no weights at {cand}. Fetch them "
+        "with PDC_PRETRAINED=1 deploy/setup_tpu_vm.sh (gated download of the "
+        "torchvision ImageNet checkpoint), or set $PDC_PRETRAINED_WEIGHTS.")
+
+
+def maybe_load_pretrained_backbone(variables: Dict, net_config: Mapping) -> Dict:
+    """Apply ImageNet initialization when the config asks for it (no-op
+    otherwise) — the operative analog of the reference's pretrained=True
+    default. Returns (possibly replaced) ``{'params', 'batch_stats'}``."""
+    path = resolve_pretrained_weights(net_config)
+    if path is None:
+        return variables
+    import logging
+
+    import torch
+
+    sd = torch.load(path, map_location="cpu")
+    if hasattr(sd, "state_dict"):
+        sd = sd.state_dict()
+    logging.getLogger(__name__).info(
+        "initializing backbone from pretrained weights: %s", path)
+    return convert_torchvision_resnet(sd, variables)
 
 
 def convert_reference_dcn(state_dict: Mapping, variables: Dict) -> Dict:

@@ -35,6 +35,19 @@ def make_mesh(axis_names: Sequence[str] = ("data",),
     return Mesh(arr, axis_names=tuple(axis_names))
 
 
+def get_shard_map():
+    """``jax.shard_map`` with replication checking off, compatible across
+    the kwarg rename (check_vma, formerly check_rep)."""
+    import functools
+    import inspect
+
+    from jax import shard_map
+
+    params = inspect.signature(shard_map).parameters
+    kw = "check_vma" if "check_vma" in params else "check_rep"
+    return functools.partial(shard_map, **{kw: False})
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     """Leading-axis (batch) sharding over the mesh's data axis."""
     return NamedSharding(mesh, P("data"))

@@ -15,9 +15,10 @@ dominates small-resolution training. This module moves BOTH on device:
 One dispatch per K steps amortizes the host round trip to nothing; the loss
 history still comes back per step ([K] metric arrays).
 
-Scope: within-scene sample types (the default training mix). Cross-scene /
-different-object / synthetic-multi-object mixes use the per-step host
-sampling path.
+Scope: ALL five sample types run device-resident — within-scene (the default
+mix), across-scene, different-object, and synthetic-multi-object (type-4 rows
+sample a second within-scene pair from a different object's scene and
+composite on device, reference spartan_dataset_masked.py:890-1053).
 """
 
 from __future__ import annotations
@@ -70,12 +71,20 @@ def build_sampling_tables(cache):
 
 
 def device_sample_pairs_mixed(key, tables, poses, batch_size: int,
-                              type_probs: tuple):
+                              type_probs: tuple, with_second: bool = False):
     """Type-mixed on-device pair sampling.
 
     :param type_probs: static tuple of (match_type, probability) pairs over
-        {0 within-scene, 1 across-scene, 2 different-object}
-    :return: (frame_a [B], frame_b [B], match_type [B]) int32
+        {0 within-scene, 1 across-scene, 2 different-object, 4 synthetic
+        multi-object}
+    :param with_second: static; also return a second within-scene pair
+        (frame_a_2, frame_b_2) — for SYNTHETIC_MULTI_OBJECT rows the pair
+        comes from a DIFFERENT object's scene (both pairs pose-rejected,
+        reference spartan_dataset_masked.py:890-925); other rows self-pair.
+        Required when 4 is in ``type_probs``.
+    :return: (frame_a [B], frame_b [B], match_type [B]) int32, plus
+        (frame_a_2 [B], frame_b_2 [B]) before match_type when
+        ``with_second``
     """
     offsets = tables["scene_offsets"]
     lengths = tables["scene_lengths"]
@@ -84,6 +93,11 @@ def device_sample_pairs_mixed(key, tables, poses, batch_size: int,
     S = offsets.shape[0]
     O = by_obj.shape[0]
 
+    has_smo = any(t == 4 for t, _ in type_probs)
+    if has_smo and not with_second:
+        raise ValueError(
+            "SYNTHETIC_MULTI_OBJECT in type_probs requires with_second=True")
+
     types = jnp.asarray([t for t, _ in type_probs], jnp.int32)
     weights = jnp.asarray([p for _, p in type_probs], jnp.float32)
     weights = weights / jnp.sum(weights)
@@ -91,25 +105,24 @@ def device_sample_pairs_mixed(key, tables, poses, batch_size: int,
     def frame_in_scene(k, s):
         return offsets[s] + jax.random.randint(k, (), 0, lengths[s])
 
+    def within_pair(k_frame, k_cand, s):
+        """Pose-difference-rejected frame pair inside scene ``s``
+        (reference thresholds); ok=False when no candidate differs enough."""
+        fa = frame_in_scene(k_frame, s)
+        cand = offsets[s] + jax.random.randint(
+            k_cand, (NUM_POSE_CANDIDATES,), 0, lengths[s])
+        ok = _pose_ok(poses[fa], poses[cand])
+        fb = jnp.where(ok.any(), cand[jnp.argmax(ok)], fa)
+        return fa, fb, ok.any()
+
     def one(k):
-        ks = jax.random.split(k, 8)
+        ks = jax.random.split(k, 12)
         mt = types[jax.random.categorical(ks[0], jnp.log(weights))]
 
         # -- within-scene: pose-difference rejection (reference thresholds)
         s_w = jax.random.randint(ks[1], (), 0, S)
-        fa_w = frame_in_scene(ks[2], s_w)
-        cand = offsets[s_w] + jax.random.randint(
-            ks[3], (NUM_POSE_CANDIDATES,), 0, lengths[s_w]
-        )
-        pa = poses[fa_w]
-        pc = poses[cand]
-        dist = jnp.linalg.norm(pc[:, :3, 3] - pa[:3, 3], axis=1)
-        rel = jnp.einsum("ij,kil->kjl", pa[:3, :3], pc[:, :3, :3])
-        cos = jnp.clip((jnp.trace(rel, axis1=1, axis2=2) - 1.0) / 2.0, -1.0, 1.0)
-        ang = jnp.degrees(jnp.arccos(cos))
-        ok = (dist > POSE_DIST_THRESHOLD) | (ang > POSE_ANGLE_THRESHOLD)
-        fb_w = jnp.where(ok.any(), cand[jnp.argmax(ok)], fa_w)
-        mt_w = jnp.where(ok.any(), 0, -1).astype(jnp.int32)
+        fa_w, fb_w, ok_w = within_pair(ks[2], ks[3], s_w)
+        mt_w = jnp.where(ok_w, 0, -1).astype(jnp.int32)
 
         # -- across-scene: two scenes of one object (falls back to the same
         # scene when the object has only one, mirroring the host sampler)
@@ -120,7 +133,8 @@ def device_sample_pairs_mixed(key, tables, poses, batch_size: int,
         s_x1 = by_obj[o_x, i1]
         s_x2 = by_obj[o_x, i2]
 
-        # -- different-object: two distinct objects (requires O >= 2)
+        # -- different-object / SMO: two distinct objects (requires O >= 2;
+        # falls back to the same object, mirroring the host sampler)
         o_d1 = o_x
         o_d2 = jnp.where(O > 1, (o_x + 1 + jax.random.randint(ks[7], (), 0, max(O - 1, 1))) % O, o_x)
         s_d1 = by_obj[o_d1, jax.random.randint(ks[5], (), 0, per_obj[o_d1])]
@@ -128,12 +142,34 @@ def device_sample_pairs_mixed(key, tables, poses, batch_size: int,
 
         is_within = mt == 0
         is_across = mt == 1
-        s_a = jnp.where(is_within, s_w, jnp.where(is_across, s_x1, s_d1))
-        s_b = jnp.where(is_within, s_w, jnp.where(is_across, s_x2, s_d2))
+        is_smo = mt == 4
+        # SMO pair 1: within-scene pair in object 1's scene (s_d1)
+        if has_smo:
+            fa_m1, fb_m1, ok_m1 = within_pair(ks[2], ks[8], s_d1)
+        s_a = jnp.where(is_within | is_smo, jnp.where(is_smo, s_d1, s_w),
+                        jnp.where(is_across, s_x1, s_d1))
+        s_b = jnp.where(is_within | is_smo, s_a,
+                        jnp.where(is_across, s_x2, s_d2))
         fa = jnp.where(is_within, fa_w, frame_in_scene(ks[2], s_a))
         fb = jnp.where(is_within, fb_w, frame_in_scene(ks[3], s_b))
         mt_out = jnp.where(is_within, mt_w, mt)
-        return fa.astype(jnp.int32), fb.astype(jnp.int32), mt_out
+        if has_smo:
+            fa = jnp.where(is_smo, fa_m1, fa)
+            fb = jnp.where(is_smo, fb_m1, fb)
+
+        if not with_second:
+            return fa.astype(jnp.int32), fb.astype(jnp.int32), mt_out
+
+        # SMO pair 2: within-scene pair in object 2's scene (s_d2); both
+        # pairs must pass pose rejection or the row is the empty sentinel
+        # (reference: empty-data path when either sub-pair fails)
+        fa2, fb2, ok_2 = within_pair(ks[9], ks[10], s_d2)
+        if has_smo:
+            mt_out = jnp.where(is_smo & ~(ok_m1 & ok_2), -1, mt_out)
+        fa2 = jnp.where(mt_out == 4, fa2, fa)
+        fb2 = jnp.where(mt_out == 4, fb2, fb)
+        return (fa.astype(jnp.int32), fb.astype(jnp.int32),
+                fa2.astype(jnp.int32), fb2.astype(jnp.int32), mt_out)
 
     keys = jax.random.split(key, batch_size)
     return jax.vmap(one)(keys)
@@ -180,20 +216,29 @@ def device_sample_pairs_bounded(key, scene_offsets, scene_lengths, num_scenes,
 
 def device_sample_pairs_mixed_bounded(key, offsets, lengths, num_scenes,
                                       by_obj, per_obj, num_obj, poses,
-                                      batch_size: int, type_probs: tuple):
+                                      batch_size: int, type_probs: tuple,
+                                      with_second: bool = False):
     """Type-mixed per-chip sampler for the sharded cache — the bounded-table
     analog of :func:`device_sample_pairs_mixed`. All scene/object counts are
     TRACED (each chip sees its own zero-padded tables inside shard_map).
 
     Fallbacks mirror the host sampler: an across-scene draw on a
     single-scene object uses the same scene twice; a different-object draw
-    on a single-object shard demotes to within-scene (type 0).
+    on a single-object shard demotes to within-scene (type 0); a synthetic
+    multi-object draw on a single-object shard composites the same object
+    twice (the host sampler's AssertionError fallback).
 
     :param offsets, lengths: [Smax] int32; num_scenes scalar
     :param by_obj: [Omax, Mmax] int32 local scene slots (-1 padded)
     :param per_obj: [Omax] int32; num_obj scalar
-    :param type_probs: static ((match_type, prob), ...) over {0, 1, 2}
+    :param type_probs: static ((match_type, prob), ...) over {0, 1, 2, 4}
+    :param with_second: see :func:`device_sample_pairs_mixed`
     """
+    has_smo = any(t == 4 for t, _ in type_probs)
+    if has_smo and not with_second:
+        raise ValueError(
+            "SYNTHETIC_MULTI_OBJECT in type_probs requires with_second=True")
+
     types = jnp.asarray([t for t, _ in type_probs], jnp.int32)
     weights = jnp.asarray([p for _, p in type_probs], jnp.float32)
     weights = weights / jnp.sum(weights)
@@ -202,19 +247,23 @@ def device_sample_pairs_mixed_bounded(key, offsets, lengths, num_scenes,
         return offsets[s] + jax.random.randint(
             k, (), 0, jnp.maximum(lengths[s], 1))
 
+    def within_pair(k_frame, k_cand, s):
+        fa = frame_in_scene(k_frame, s)
+        cand = offsets[s] + jax.random.randint(
+            k_cand, (NUM_POSE_CANDIDATES,), 0, jnp.maximum(lengths[s], 1))
+        ok = _pose_ok(poses[fa], poses[cand])
+        fb = jnp.where(ok.any(), cand[jnp.argmax(ok)], fa)
+        return fa, fb, ok.any()
+
     def one(k):
-        ks = jax.random.split(k, 8)
+        ks = jax.random.split(k, 12)
         mt = types[jax.random.categorical(ks[0], jnp.log(weights))]
         mt = jnp.where((mt == 2) & (num_obj < 2), 0, mt)
 
         # within-scene with pose rejection
         s_w = jax.random.randint(ks[1], (), 0, jnp.maximum(num_scenes, 1))
-        fa_w = frame_in_scene(ks[2], s_w)
-        cand = offsets[s_w] + jax.random.randint(
-            ks[3], (NUM_POSE_CANDIDATES,), 0, jnp.maximum(lengths[s_w], 1))
-        ok = _pose_ok(poses[fa_w], poses[cand])
-        fb_w = jnp.where(ok.any(), cand[jnp.argmax(ok)], fa_w)
-        mt_w = jnp.where(ok.any(), 0, -1).astype(jnp.int32)
+        fa_w, fb_w, ok_w = within_pair(ks[2], ks[3], s_w)
+        mt_w = jnp.where(ok_w, 0, -1).astype(jnp.int32)
 
         # across-scene: two scenes of one object
         o_x = jax.random.randint(ks[4], (), 0, jnp.maximum(num_obj, 1))
@@ -228,7 +277,7 @@ def device_sample_pairs_mixed_bounded(key, offsets, lengths, num_scenes,
         s_x1 = by_obj[o_x, i1]
         s_x2 = by_obj[o_x, i2]
 
-        # different-object: two distinct objects of this shard
+        # different-object / SMO: two distinct objects of this shard
         o_d2 = jnp.where(
             num_obj > 1,
             (o_x + 1 + jax.random.randint(ks[7], (), 0, jnp.maximum(num_obj - 1, 1)))
@@ -239,12 +288,30 @@ def device_sample_pairs_mixed_bounded(key, offsets, lengths, num_scenes,
 
         is_within = mt == 0
         is_across = mt == 1
-        s_a = jnp.where(is_within, s_w, jnp.where(is_across, s_x1, s_d1))
-        s_b = jnp.where(is_within, s_w, jnp.where(is_across, s_x2, s_d2))
+        is_smo = mt == 4
+        if has_smo:
+            fa_m1, fb_m1, ok_m1 = within_pair(ks[2], ks[8], s_d1)
+        s_a = jnp.where(is_within | is_smo, jnp.where(is_smo, s_d1, s_w),
+                        jnp.where(is_across, s_x1, s_d1))
+        s_b = jnp.where(is_within | is_smo, s_a,
+                        jnp.where(is_across, s_x2, s_d2))
         fa = jnp.where(is_within, fa_w, frame_in_scene(ks[2], s_a))
         fb = jnp.where(is_within, fb_w, frame_in_scene(ks[3], s_b))
         mt_out = jnp.where(is_within, mt_w, mt)
-        return fa.astype(jnp.int32), fb.astype(jnp.int32), mt_out
+        if has_smo:
+            fa = jnp.where(is_smo, fa_m1, fa)
+            fb = jnp.where(is_smo, fb_m1, fb)
+
+        if not with_second:
+            return fa.astype(jnp.int32), fb.astype(jnp.int32), mt_out
+
+        fa2, fb2, ok_2 = within_pair(ks[9], ks[10], s_d2)
+        if has_smo:
+            mt_out = jnp.where(is_smo & ~(ok_m1 & ok_2), -1, mt_out)
+        fa2 = jnp.where(mt_out == 4, fa2, fa)
+        fb2 = jnp.where(mt_out == 4, fb2, fb)
+        return (fa.astype(jnp.int32), fb.astype(jnp.int32),
+                fa2.astype(jnp.int32), fb2.astype(jnp.int32), mt_out)
 
     keys = jax.random.split(key, batch_size)
     return jax.vmap(one)(keys)
@@ -312,6 +379,13 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    has_smo = type_probs is not None and any(
+        t == 4 and p > 0 for t, p in type_probs)
+    if has_smo != assembler_cfg.enable_synthetic_multi_object:
+        import dataclasses
+
+        assembler_cfg = dataclasses.replace(
+            assembler_cfg, enable_synthetic_multi_object=has_smo)
     assemble_batch, compose = pick_assembly(assembler_cfg)
     loss_fn = build_loss_fn(model, loss_cfg, image_width, compose)
     mesh, data_axis = cache.mesh, cache.data_axis
@@ -324,7 +398,12 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
                  offsets, lengths, num, by_obj, per_obj, num_obj):
         key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         k_sample, k_assemble = jax.random.split(key)
-        if mixed:
+        fa2 = fb2 = None
+        if mixed and has_smo:
+            fa, fb, fa2, fb2, mt = device_sample_pairs_mixed_bounded(
+                k_sample, offsets, lengths, num, by_obj, per_obj, num_obj,
+                poses, batch_size, type_probs, with_second=True)
+        elif mixed:
             fa, fb, mt = device_sample_pairs_mixed_bounded(
                 k_sample, offsets, lengths, num, by_obj, per_obj, num_obj,
                 poses, batch_size, type_probs)
@@ -347,6 +426,18 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
             "perm_b": jnp.take(perm, fb, axis=0),
             "count_b": jnp.take(mcount, fb, axis=0),
         }
+        if fa2 is not None:
+            batch.update({
+                "rgb_a_2": jnp.take(rgb, fa2, axis=0),
+                "depth_a_2": jnp.take(depth, fa2, axis=0),
+                "mask_a_2": jnp.take(mask, fa2, axis=0),
+                "pose_a_2": jnp.take(poses, fa2, axis=0),
+                "rgb_b_2": jnp.take(rgb, fb2, axis=0),
+                "depth_b_2": jnp.take(depth, fb2, axis=0),
+                "mask_b_2": jnp.take(mask, fb2, axis=0),
+                "pose_b_2": jnp.take(poses, fb2, axis=0),
+                "K_2": jnp.take(Ks, fa2, axis=0),
+            })
         img_a, img_b, indices = assemble_batch(k_assemble, batch, assembler_cfg)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -406,9 +497,11 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
     ``cache`` is a :class:`pdc_tpu.data.device_cache.DeviceCache`.
 
     ``type_probs`` (optional): tuple of (match_type, probability) pairs over
-    {0 within-scene, 1 across-scene, 2 different-object}; defaults to pure
-    within-scene sampling. SYNTHETIC_MULTI_OBJECT needs the per-step host
-    path (two image pairs per sample).
+    {0 within-scene, 1 across-scene, 2 different-object, 4 synthetic
+    multi-object}; defaults to pure within-scene sampling. Type-4 rows draw
+    a second within-scene pair from a different object's scene and composite
+    on device (``assembler_cfg.enable_synthetic_multi_object`` is switched
+    on automatically), so ALL five sample types run device-resident.
 
     With ``mesh`` given, the step is data-parallel over the mesh's
     ``data_axis``: every chip samples its own ``batch_size`` pairs (the
@@ -416,6 +509,13 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
     the update uses a ``pmean`` over ICI — the scan composes with DP, so a
     pod runs K global steps per host dispatch.
     """
+    has_smo = type_probs is not None and any(
+        t == 4 and p > 0 for t, p in type_probs)
+    if has_smo != assembler_cfg.enable_synthetic_multi_object:
+        import dataclasses
+
+        assembler_cfg = dataclasses.replace(
+            assembler_cfg, enable_synthetic_multi_object=has_smo)
     assemble_batch, compose = pick_assembly(assembler_cfg)
     loss_fn = build_loss_fn(model, loss_cfg, image_width, compose)
 
@@ -441,7 +541,13 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
             # decorrelate sampling across chips
             key = jax.random.fold_in(key, jax.lax.axis_index(data_axis))
         k_sample, k_assemble = jax.random.split(key)
-        if mixed:
+        fa2 = fb2 = None
+        if mixed and has_smo:
+            fa, fb, fa2, fb2, mt = device_sample_pairs_mixed(
+                k_sample, tables, poses_dev, batch_size, type_probs,
+                with_second=True
+            )
+        elif mixed:
             fa, fb, mt = device_sample_pairs_mixed(
                 k_sample, tables, poses_dev, batch_size, type_probs
             )
@@ -461,6 +567,18 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
             "pose_b": jnp.take(poses_dev, fb, axis=0),
             "K": jnp.take(Ks_dev, fa, axis=0),
         }
+        if fa2 is not None:
+            batch.update({
+                "rgb_a_2": jnp.take(rgb, fa2, axis=0),
+                "depth_a_2": jnp.take(depth, fa2, axis=0),
+                "mask_a_2": jnp.take(mask, fa2, axis=0),
+                "pose_a_2": jnp.take(poses_dev, fa2, axis=0),
+                "rgb_b_2": jnp.take(rgb, fb2, axis=0),
+                "depth_b_2": jnp.take(depth, fb2, axis=0),
+                "mask_b_2": jnp.take(mask, fb2, axis=0),
+                "pose_b_2": jnp.take(poses_dev, fb2, axis=0),
+                "K_2": jnp.take(Ks_dev, fa2, axis=0),
+            })
         if cache.pixel_perm is not None:
             batch.update({
                 "perm_a": jnp.take(cache.pixel_perm, fa, axis=0),

@@ -67,6 +67,14 @@ def make_optimizer(training_config: dict):
 def create_train_state(model, training_config: dict, rng, image_shape):
     H, W = image_shape
     variables = model.init(rng, jnp.zeros((1, H, W, 3), jnp.float32), train=False)
+    net_cfg = training_config.get("dense_correspondence_network", {})
+    if (net_cfg.get("backbone") or {}).get("pretrained"):
+        # ImageNet init — the reference's operative default
+        # (dense_correspondence_network.py:373-383); opt-in here because the
+        # weights are a gated download (deploy/setup_tpu_vm.sh)
+        from pdc_tpu.models.torch_import import maybe_load_pretrained_backbone
+
+        variables = maybe_load_pretrained_backbone(variables, net_cfg)
     tx = make_optimizer(training_config)
     params = variables["params"]
     return TrainState(

@@ -184,3 +184,70 @@ def test_sharded_cache_mixed_types(dataset, mesh):
     losses = np.asarray(m["loss"])
     assert losses.shape == (2,)
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_sharded_cache_smo(dataset, mesh):
+    """SYNTHETIC_MULTI_OBJECT on the sharded-cache path: type-4 rows carry a
+    second within-scene pair and train device-resident (round-3 directive —
+    all 5 sample types on the pod-scale path)."""
+    import jax.numpy as jnp
+
+    from pdc_tpu.data.assembler import AssemblerConfig
+    from pdc_tpu.losses.pixelwise_contrastive import LossConfig
+    from pdc_tpu.models.dcn import build_backbone
+    from pdc_tpu.training.scanned import (
+        device_sample_pairs_mixed_bounded,
+        make_sharded_cache_train_step,
+    )
+    from pdc_tpu.training.train import create_train_state
+
+    mesh2 = make_mesh(("data",), devices=jax.devices()[:2])
+    cache = ShardedDeviceCache.from_dataset(dataset, mesh2, by_object=True)
+
+    # sampler check on shard 0's local tables (single-object shard: SMO
+    # composites the same object twice, the host sampler's fallback)
+    offsets = np.asarray(cache.scene_offsets)[0]
+    lengths = np.asarray(cache.scene_lengths)[0]
+    num = np.asarray(cache.num_scenes)[0, 0]
+    by_obj = np.asarray(cache.scenes_by_object)[0]
+    per_obj = np.asarray(cache.scenes_per_object)[0]
+    num_obj = np.asarray(cache.num_objects)[0, 0]
+    fa, fb, fa2, fb2, mt = device_sample_pairs_mixed_bounded(
+        jax.random.PRNGKey(0), jnp.asarray(offsets), jnp.asarray(lengths),
+        jnp.asarray(num), jnp.asarray(by_obj), jnp.asarray(per_obj),
+        jnp.asarray(num_obj),
+        jnp.asarray(np.asarray(cache.poses)[:cache.frames_per_shard]),
+        batch_size=64, type_probs=((0, 0.5), (4, 0.5)), with_second=True)
+    fa, fb, fa2, fb2, mt = map(np.asarray, (fa, fb, fa2, fb2, mt))
+    smo = mt == 4
+    assert smo.sum() > 10
+    assert (fa[smo] != fb[smo]).all() and (fa2[smo] != fb2[smo]).all()
+    assert (fa2 < cache.frames_per_shard).all()
+
+    config = {
+        "training": {
+            "learning_rate": 1e-4, "learning_rate_decay": 0.9,
+            "steps_between_learning_rate_decay": 250, "weight_decay": 1e-4,
+        },
+        "dense_correspondence_network": {
+            "descriptor_dimension": 3,
+            "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+        },
+    }
+    model = build_backbone(config["dense_correspondence_network"])
+    state, tx = create_train_state(model, config, jax.random.PRNGKey(0), (H, W))
+    acfg = AssemblerConfig(
+        num_matching_attempts=64, masked_pool_size=32,
+        background_pool_size=32, num_blind_samples=16,
+        cross_scene_num_samples=32,
+    )
+    step = make_sharded_cache_train_step(
+        model, tx, LossConfig(), acfg, W, cache,
+        batch_size=2, steps_per_dispatch=2,
+        type_probs=((0, 0.4), (1, 0.15), (2, 0.15), (4, 0.3)))
+    state, m = step(state, jax.random.PRNGKey(3))
+    jax.block_until_ready(state.params)
+    losses = np.asarray(m["loss"])
+    assert losses.shape == (2,)
+    assert np.isfinite(losses).all()
