@@ -158,7 +158,9 @@ def _encode_batch_pil(items):
 
     for path, kind, arr in items:
         if kind == KIND_ENC_GRAY16:
-            Image.fromarray(np.asarray(arr, np.uint16), mode="I;16").save(path)
+            # uint16 arrays map to mode I;16 without the deprecated
+            # ``mode=`` override (Pillow infers it from the dtype)
+            Image.fromarray(np.asarray(arr, np.uint16)).save(path)
         else:
             Image.fromarray(np.asarray(arr)).save(path)
 

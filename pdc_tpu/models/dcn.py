@@ -72,7 +72,9 @@ def build_backbone(config: dict, dtype=None):
         }
         if name not in factories:
             raise ValueError(f"unsupported resnet_name: {name}")
-        return factories[name](d, dtype=dtype, remat=remat)
+        return factories[name](d, dtype=dtype, remat=remat,
+                               dilated_s2b=bool(config.get("dilated_s2b",
+                                                           False)))
     if backbone["model_class"] == "Unet":
         return UNet(num_classes=d, dtype=dtype)
     raise ValueError(f"unknown backbone model_class: {backbone['model_class']}")

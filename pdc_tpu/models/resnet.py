@@ -112,6 +112,25 @@ class BottleneckBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+def space_to_batch(x, d: int):
+    """[B, H, W, C] -> [d*d*B, H/d, W/d, C]: partition pixels by residue mod
+    ``d``. A 3x3 conv with dilation ``d`` and padding ``d`` on the original
+    equals a DENSE 3x3 conv with padding 1 on every subgrid — the classic
+    atrous-conv space-to-batch identity (exact, incl. zero-padding)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // d, d, w // d, d, c)
+    x = x.transpose(2, 4, 0, 1, 3, 5)  # [d, d, b, H/d, W/d, c]
+    return x.reshape(d * d * b, h // d, w // d, c)
+
+
+def batch_to_space(x, d: int, b: int):
+    """Inverse of :func:`space_to_batch`."""
+    _, h, w, c = x.shape
+    x = x.reshape(d, d, b, h, w, c)
+    x = x.transpose(2, 3, 0, 4, 1, 5)  # [b, h, d, w, d, c]
+    return x.reshape(b, h * d, w * d, c)
+
+
 class ResNetFCN(nn.Module):
     """Dilated ResNet FCN. ``output_stride`` of 8 dilates stages 3 and 4.
 
@@ -119,6 +138,16 @@ class ResNetFCN(nn.Module):
     ``dtype=jnp.bfloat16`` runs conv/BN compute in bf16 with fp32 params;
     ``remat=True`` rematerializes each residual block in the backward pass
     (activation memory ~ one block instead of the whole network).
+
+    ``dilated_s2b=True`` runs the dilated stages in SPACE-TO-BATCH layout:
+    the stage-entry transform turns every dilated 3x3 into a dense 3x3 on
+    d^2 independent subgrids (amortized once per stage, undone before the
+    head's upsample). Numerically exact — same parameters, same output
+    (residue partition + identical BN statistics; tests/test_models.py
+    asserts equality) — but the backward's dgrad/wgrad become standard
+    convolutions, which tile better on the MXU (the per-stage fwd+bwd probe
+    measured the dilated backward at 74-78% of peak vs 90-94% forward).
+    Requires H/8 and W/8 divisible by 4 (all reference resolutions are).
     """
 
     num_classes: int
@@ -127,10 +156,12 @@ class ResNetFCN(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     bottleneck: bool = False  # BottleneckBlock (ResNet-50/101) vs BasicBlock
+    dilated_s2b: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_h, in_w = x.shape[1], x.shape[2]
+        batch = x.shape[0]
         x = x.astype(self.dtype)
 
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
@@ -150,10 +181,24 @@ class ResNetFCN(nn.Module):
             stage_strides = (1, 2, 2, 2)
             stage_dilations = (1, 1, 1, 1)
 
+        use_s2b = self.dilated_s2b and self.output_stride == 8
+        if use_s2b:
+            if (in_h // 8) % 4 or (in_w // 8) % 4:
+                raise ValueError(
+                    f"dilated_s2b needs H/8 and W/8 divisible by 4, got "
+                    f"input {in_h}x{in_w}")
+            stage_dilations = (1, 1, 1, 1)  # dense convs in s2b layout
+
         base_cls = BottleneckBlock if self.bottleneck else BasicBlock
         block_cls = nn.remat(base_cls, static_argnums=(2,)) if self.remat else base_cls
         features = (64, 128, 256, 512)
+        s2b_factor = 1
         for stage, (blocks, feats) in enumerate(zip(self.stage_sizes, features)):
+            if use_s2b and stage >= 2:
+                # entering a dilated stage: one more 2x subgrid split (the
+                # cascade realizes dilation 2 then 4 relative to the input)
+                x = space_to_batch(x, 2)
+                s2b_factor *= 2
             for block in range(blocks):
                 x = block_cls(
                     features=feats,
@@ -166,6 +211,11 @@ class ResNetFCN(nn.Module):
         # 1x1 descriptor head (the reference's ``score_32s``-style head
         # collapsed to the single stride-8 head Resnet34_8s actually uses)
         x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(x)
+
+        if use_s2b:
+            # undo the cascade (inner split first)
+            x = batch_to_space(x, 2, 2 * 2 * batch)
+            x = batch_to_space(x, 2, batch)
 
         # Bilinear upsample back to input resolution (align_corners=False
         # semantics via jax.image.resize 'linear'), in the compute dtype.
@@ -182,24 +232,32 @@ def _resize_bilinear(x, h, w):
     return jax.image.resize(x, (x.shape[0], h, w, x.shape[-1]), method="linear")
 
 
-def ResNet34_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> ResNetFCN:
+def ResNet34_8s(num_classes: int, dtype=jnp.float32, remat: bool = False,
+                dilated_s2b: bool = False) -> ResNetFCN:
     """The CoRL-2018 default backbone."""
     return ResNetFCN(num_classes=num_classes, stage_sizes=(3, 4, 6, 3),
-                     output_stride=8, dtype=dtype, remat=remat)
+                     output_stride=8, dtype=dtype, remat=remat,
+                     dilated_s2b=dilated_s2b)
 
 
-def ResNet18_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> ResNetFCN:
+def ResNet18_8s(num_classes: int, dtype=jnp.float32, remat: bool = False,
+                dilated_s2b: bool = False) -> ResNetFCN:
     return ResNetFCN(num_classes=num_classes, stage_sizes=(2, 2, 2, 2),
-                     output_stride=8, dtype=dtype, remat=remat)
+                     output_stride=8, dtype=dtype, remat=remat,
+                     dilated_s2b=dilated_s2b)
 
 
-def ResNet50_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> ResNetFCN:
+def ResNet50_8s(num_classes: int, dtype=jnp.float32, remat: bool = False,
+                dilated_s2b: bool = False) -> ResNetFCN:
     return ResNetFCN(num_classes=num_classes, stage_sizes=(3, 4, 6, 3),
-                     output_stride=8, dtype=dtype, remat=remat, bottleneck=True)
+                     output_stride=8, dtype=dtype, remat=remat,
+                     bottleneck=True, dilated_s2b=dilated_s2b)
 
 
-def ResNet101_8s(num_classes: int, dtype=jnp.float32, remat: bool = False) -> ResNetFCN:
+def ResNet101_8s(num_classes: int, dtype=jnp.float32, remat: bool = False,
+                 dilated_s2b: bool = False) -> ResNetFCN:
     """The deeper variant the reference's backbone library also offers
     (pytorch-segmentation-detection Resnet101_8s)."""
     return ResNetFCN(num_classes=num_classes, stage_sizes=(3, 4, 23, 3),
-                     output_stride=8, dtype=dtype, remat=remat, bottleneck=True)
+                     output_stride=8, dtype=dtype, remat=remat,
+                     bottleneck=True, dilated_s2b=dilated_s2b)

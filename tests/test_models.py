@@ -235,3 +235,58 @@ def test_unet_trains_end_to_end(tmp_path):
     res = dcn.forward_on_img(ds.get_scene(ds.get_random_scene_name()).rgb[0])
     assert res.shape == (48, 64, 3)
     assert np.isfinite(np.asarray(res)).all()
+
+
+def test_dilated_s2b_exact_equality():
+    """space-to-batch dilated stages (dilated_s2b=True) are numerically
+    EQUAL to the plain dilated model — same params, same output (residue
+    partition identity + identical BN statistics), fwd in both eval and
+    train mode including the updated running stats."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pdc_tpu.models.resnet import ResNet18_8s
+
+    H, W = 64, 96  # H/8=8, W/8=12: divisible by 4
+    plain = ResNet18_8s(3)
+    s2b = ResNet18_8s(3, dilated_s2b=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, H, W, 3))
+    v = plain.init(jax.random.PRNGKey(1), x, train=False)
+
+    out_plain = plain.apply(v, x, train=False)
+    out_s2b = s2b.apply(v, x, train=False)  # SAME variables
+    np.testing.assert_allclose(np.asarray(out_plain), np.asarray(out_s2b),
+                               atol=2e-5)
+
+    # train mode: outputs AND updated batch stats agree
+    op, mp = plain.apply(v, x, train=True, mutable=["batch_stats"])
+    os_, ms = s2b.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(op), np.asarray(os_), atol=2e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(mp), jax.tree_util.tree_leaves(ms)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # gradients agree too (the whole point is a faster backward)
+    def loss(params, model):
+        return jnp.sum(jnp.square(model.apply(
+            {"params": params, "batch_stats": v["batch_stats"]}, x,
+            train=False)))
+
+    gp = jax.grad(lambda p: loss(p, plain))(v["params"])
+    gs = jax.grad(lambda p: loss(p, s2b))(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gs)):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = max(np.abs(a).max(), 1.0)
+        np.testing.assert_allclose(a / scale, b / scale, atol=1e-5)
+
+
+def test_dilated_s2b_rejects_bad_shapes():
+    import jax
+    import pytest as _pytest
+
+    from pdc_tpu.models.resnet import ResNet18_8s
+
+    s2b = ResNet18_8s(3, dilated_s2b=True)
+    x = jax.numpy.zeros((1, 48, 64, 3))  # H/8=6 not divisible by 4
+    with _pytest.raises(ValueError, match="divisible by 4"):
+        s2b.init(jax.random.PRNGKey(0), x, train=False)
