@@ -189,3 +189,45 @@ def triplet_loss(
     per = jnp.maximum(pos - neg + alpha, 0.0)
     num = jnp.maximum(jnp.sum(valid), 1)
     return jnp.sum(jnp.where(valid, per, 0.0)) / num
+
+
+def get_loss_original(
+    image_a_pred, image_b_pred, matches_a, matches_b,
+    non_matches_a, non_matches_b,
+    matches_valid=None, non_matches_valid=None,
+    M_margin: float = 0.5, non_match_loss_weight: float = 1.0,
+):
+    """The reference's pinned legacy loss (``get_loss_original``,
+    pixelwise_contrastive_loss.py:357-411, pegged to sha 87abdb6) — kept for
+    regression comparisons against pre-2018 checkpoints. Differs from the
+    current loss in the non-match hinge: ``max(0, M - ||d_a - d_b||^2)``
+    (margin against the SQUARED distance, not the squared hinge of the
+    distance) and mean normalization by the full non-match count rather than
+    hard-negative scaling.
+
+    :param image_*_pred: [HW, D] flattened descriptor images
+    :param matches_* / non_matches_*: [N] flat pixel indices
+    :param *_valid: optional [N] bool masks (static-shape pdc_tpu batches;
+        None = all valid, the reference's dynamic-shape behavior)
+    :return: (loss, match_loss, non_match_loss) scalars
+    """
+    if matches_valid is None:
+        matches_valid = jnp.ones(matches_a.shape[0], bool)
+    if non_matches_valid is None:
+        non_matches_valid = jnp.ones(non_matches_a.shape[0], bool)
+
+    da = _gather(image_a_pred, matches_a, matches_valid)
+    db = _gather(image_b_pred, matches_b, matches_valid)
+    n_m = jnp.maximum(jnp.sum(matches_valid), 1)
+    match_loss = jnp.sum(jnp.where(
+        matches_valid, jnp.sum(jnp.square(da - db), axis=-1), 0.0)) / n_m
+
+    na = _gather(image_a_pred, non_matches_a, non_matches_valid)
+    nb = _gather(image_b_pred, non_matches_b, non_matches_valid)
+    d2 = jnp.sum(jnp.square(na - nb), axis=-1)
+    hinge = jnp.maximum(M_margin - d2, 0.0)
+    n_n = jnp.maximum(jnp.sum(non_matches_valid), 1)
+    non_match_loss = non_match_loss_weight * jnp.sum(
+        jnp.where(non_matches_valid, hinge, 0.0)) / n_n
+
+    return match_loss + non_match_loss, match_loss, non_match_loss

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from pdc_tpu.losses import (
     LossConfig,
@@ -185,3 +186,46 @@ def test_compose_is_jittable_and_differentiable(rng):
     g = jax.jit(jax.grad(f))(ja, jb)
     assert np.isfinite(np.asarray(g)).all()
     assert float(jnp.abs(g).sum()) > 0
+
+
+def test_get_loss_original_oracle():
+    """Legacy pinned loss vs a direct numpy transcription of the reference
+    formula (pixelwise_contrastive_loss.py:357-411): margin against the
+    SQUARED distance, mean over full counts."""
+    import numpy as np
+
+    from pdc_tpu.losses.pixelwise_contrastive import get_loss_original
+
+    rng = np.random.RandomState(0)
+    HW, D = 96, 3
+    a = rng.randn(HW, D).astype(np.float32)
+    b = rng.randn(HW, D).astype(np.float32)
+    m_a = rng.randint(0, HW, 20)
+    m_b = rng.randint(0, HW, 20)
+    n_a = rng.randint(0, HW, 50)
+    n_b = rng.randint(0, HW, 50)
+    M = 0.5
+
+    expect_match = np.mean(np.sum((a[m_a] - b[m_b]) ** 2, axis=1))
+    d2 = np.sum((a[n_a] - b[n_b]) ** 2, axis=1)
+    expect_nm = np.mean(np.maximum(M - d2, 0.0))
+
+    loss, ml, nml = get_loss_original(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(m_a), jnp.asarray(m_b),
+        jnp.asarray(n_a), jnp.asarray(n_b), M_margin=M)
+    assert float(ml) == pytest.approx(expect_match, rel=1e-5)
+    assert float(nml) == pytest.approx(expect_nm, rel=1e-5)
+    assert float(loss) == pytest.approx(expect_match + expect_nm, rel=1e-5)
+
+    # validity masking: invalid rows contribute nothing, counts shrink
+    mv = np.zeros(20, bool); mv[:10] = True
+    nv = np.zeros(50, bool); nv[:25] = True
+    _, ml2, nml2 = get_loss_original(
+        jnp.asarray(a), jnp.asarray(b), jnp.asarray(m_a), jnp.asarray(m_b),
+        jnp.asarray(n_a), jnp.asarray(n_b),
+        matches_valid=jnp.asarray(mv), non_matches_valid=jnp.asarray(nv),
+        M_margin=M)
+    expect_match2 = np.mean(np.sum((a[m_a[:10]] - b[m_b[:10]]) ** 2, axis=1))
+    expect_nm2 = np.mean(np.maximum(M - d2[:25], 0.0))
+    assert float(ml2) == pytest.approx(expect_match2, rel=1e-5)
+    assert float(nml2) == pytest.approx(expect_nm2, rel=1e-5)
