@@ -62,9 +62,10 @@ def visualize_saved_correspondences(
 
     :param annotations: path to ``new_annotated_pairs.yaml`` or the loaded
         list (the labeler's on-disk format)
-    :param output_dir: when set, writes ``pair_%03d_{a,b}.png`` per entry
+    :param output_dir: directory for the ``pair_%03d_{a,b}.png`` artifacts
+        (headless mode; defaults to the current directory)
     :param interactive: cv2 windows with the reference's keyboard protocol
-        (n = next pair, wrapping; q/ESC = quit)
+        (n = next pair, wrapping; q/ESC = quit) — nothing is written
     :return: list of written file paths (headless mode)
     """
     if isinstance(annotations, str):
@@ -116,6 +117,20 @@ def _subsample(uv_a, uv_b, valid, n, rng):
 def _flat_to_uv(flat, W):
     flat = np.asarray(flat)
     return np.stack([flat % W, flat // W], axis=-1)
+
+
+def detect_flip(flat_idx, valid, mask):
+    """Was this image 180-flipped by augmentation after ``mask`` was read?
+    Matches are sampled on the object, so the orientation whose mask covers
+    more matched pixels is the indices' frame (a flat 180 flip is index
+    reversal)."""
+    valid = np.asarray(valid)
+    if not valid.any():
+        return False
+    m = np.asarray(mask).reshape(-1) != 0
+    hit = np.zeros(m.size, bool)
+    hit[np.asarray(flat_idx)[valid]] = True
+    return bool((hit & m[::-1]).sum() > (hit & m).sum())
 
 
 def debug_batch_panels(dataset, num_pairs: int, output_dir: str,
@@ -190,6 +205,17 @@ def debug_batch_panels(dataset, num_pairs: int, output_dir: str,
         uv_m_b = _flat_to_uv(s.matches_b, W)
         m_valid = np.asarray(s.matches_valid)
 
+        # the assembler may have 180-flipped either image AFTER the raw
+        # frames were read: indices (and disp_*) are post-flip, the raw
+        # depth/mask arrays pre-flip — align the displayed arrays to the
+        # indices' frame (detect_flip: match/mask agreement per side)
+        flip_a = detect_flip(s.matches_a, m_valid, pair.mask_a)
+        flip_b = detect_flip(s.matches_b, m_valid, pair.mask_b)
+        if flip_a:
+            depth_a = depth_a[::-1, ::-1]
+        if flip_b:
+            depth_b = depth_b[::-1, ::-1]
+
         paths = []
 
         def panel(name, uv2_a, uv2_b, color):
@@ -224,13 +250,13 @@ def debug_batch_panels(dataset, num_pairs: int, output_dir: str,
                           s.blind_nm_valid, num_matches_to_plot * 10, rng),
               _BLIND_NM_COLOR)
 
-        # mask panels (spartan_dataset_masked.py:817-835); the mask shown is
-        # pre-flip — matched-pixel panels use the assembler's flat indices,
-        # which live in post-flip coordinates, so rebuild the object mask
-        # from the indices' own frame: matched | unmatched = sampled mask
+        # mask panels (spartan_dataset_masked.py:817-835), in the indices'
+        # (post-flip) frame
         matched = np.zeros(H * W, bool)
         matched[np.asarray(s.matches_a)[m_valid]] = True
         mask_a = np.asarray(pair.mask_a) != 0
+        if flip_a:
+            mask_a = mask_a[::-1, ::-1]
         fig, axes = plt.subplots(2, 2, figsize=(10, 8))
         axes[0, 0].imshow(mask_a)
         axes[0, 0].set_title("mask of img a object pixels")

@@ -227,6 +227,7 @@ def _fused_sweep_program(num_matches: int, padded_num_attempts: int):
     return run
 
 
+@functools.lru_cache(maxsize=8)
 def _sharded_sweep_program(num_matches: int, padded_num_attempts: int,
                            mesh, data_axis: str):
     """Mesh-parallel fused sweep: the pairs axis is sharded over
@@ -563,16 +564,17 @@ class DenseCorrespondenceEvaluation:
         import pandas as pd
 
         if len(pair_list) > pair_chunk:
-            frames = [
-                DenseCorrespondenceEvaluation._quantitative_sweep_fused(
-                    dataset, pair_list[i:i + pair_chunk],
-                    {k: v for k, v in images.items()
-                     if k in {(s, idx) for s, ia, ib, _ in
-                              pair_list[i:i + pair_chunk] for idx in (ia, ib)}},
-                    num_matches, padded_num_attempts, pair_chunk,
-                    mesh=mesh, data_axis=data_axis)
-                for i in range(0, len(pair_list), pair_chunk)
-            ]
+            frames = []
+            for i in range(0, len(pair_list), pair_chunk):
+                chunk = pair_list[i:i + pair_chunk]
+                wanted = {(s, idx) for s, ia, ib, _ in chunk
+                          for idx in (ia, ib)}
+                frames.append(
+                    DenseCorrespondenceEvaluation._quantitative_sweep_fused(
+                        dataset, chunk,
+                        {k: v for k, v in images.items() if k in wanted},
+                        num_matches, padded_num_attempts, pair_chunk,
+                        mesh=mesh, data_axis=data_axis))
             return pd.concat(frames, ignore_index=True)
 
         # stack unique descriptor images once; per-pair gathers by index

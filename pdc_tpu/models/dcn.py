@@ -249,7 +249,10 @@ class DenseCorrespondenceNetwork:
         if rng is None:
             rng = jax.random.PRNGKey(0)
         variables = module.init(rng, jnp.zeros((1, H, W, 3), jnp.float32), train=False)
-        if (config.get("backbone") or {}).get("pretrained"):
+        # skip the ImageNet init when stored params are about to replace it
+        # anyway — a trained model folder must stay loadable on hosts without
+        # torch or the cached pretrained .pth
+        if (config.get("backbone") or {}).get("pretrained") and not load_stored_params:
             from pdc_tpu.models.torch_import import maybe_load_pretrained_backbone
 
             variables = maybe_load_pretrained_backbone(variables, config)
@@ -337,10 +340,14 @@ def find_latest_checkpoint(model_folder: str, iteration: Optional[int] = None,
         if not os.path.exists(path):
             raise FileNotFoundError(path)
         return path
-    # glob for the step-indexed pattern explicitly so sidecars that happen to
-    # share the suffix (e.g. '000100.ckpt.opt' matched by suffix='.opt') can
-    # never be picked as a model checkpoint
-    files = sorted(glob.glob(os.path.join(model_folder, "[0-9]" * 6 + suffix)))
+    # all-digit stems only, so sidecars that happen to share the suffix
+    # (e.g. '000100.ckpt.opt' matched by suffix='.opt') can never be picked;
+    # numeric sort because '%06d' grows to 7 digits past step 999999, where
+    # lexicographic order would pick the wrong "latest"
+    files = sorted(
+        (f for f in glob.glob(os.path.join(model_folder, "*" + suffix))
+         if os.path.basename(f)[: -len(suffix)].isdigit()),
+        key=lambda f: int(os.path.basename(f)[: -len(suffix)]))
     if not files:
         raise FileNotFoundError(f"no {suffix} files in {model_folder}")
     return files[-1]

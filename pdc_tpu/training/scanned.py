@@ -93,6 +93,7 @@ def device_sample_pairs_mixed(key, tables, poses, batch_size: int,
     S = offsets.shape[0]
     O = by_obj.shape[0]
 
+    type_probs = tuple((t, p) for t, p in type_probs if p > 0)
     has_smo = any(t == 4 for t, _ in type_probs)
     if has_smo and not with_second:
         raise ValueError(
@@ -234,6 +235,7 @@ def device_sample_pairs_mixed_bounded(key, offsets, lengths, num_scenes,
     :param type_probs: static ((match_type, prob), ...) over {0, 1, 2, 4}
     :param with_second: see :func:`device_sample_pairs_mixed`
     """
+    type_probs = tuple((t, p) for t, p in type_probs if p > 0)
     has_smo = any(t == 4 for t, _ in type_probs)
     if has_smo and not with_second:
         raise ValueError(

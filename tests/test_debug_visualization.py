@@ -83,3 +83,38 @@ def test_debug_batch_panels_synthetic_multi_object(tmp_path, dataset):
     (match_type, paths), = results
     assert match_type == 4
     assert all(os.path.exists(p) for p in paths)
+
+
+def test_detect_flip():
+    """Flip detection aligns displayed masks/depths with the assembler's
+    post-flip indices (code-review finding: mask panels previously mixed
+    frames when flip augmentation fired)."""
+    from pdc_tpu.apps.debug_visualization import detect_flip
+
+    h, w = 8, 10
+    mask = np.zeros((h, w), np.uint8)
+    mask[1:3, 1:4] = 1  # asymmetric blob
+    on_mask = np.flatnonzero(mask.reshape(-1))
+    valid = np.ones(on_mask.size, bool)
+    assert detect_flip(on_mask, valid, mask) is False
+    flipped_idx = h * w - 1 - on_mask  # 180-rotated coordinates
+    assert detect_flip(flipped_idx, valid, mask) is True
+    assert detect_flip(on_mask, np.zeros_like(valid), mask) is False
+
+
+def test_debug_batch_panels_with_flip_augmentation(tmp_path, dataset):
+    """Panels render under the default augmenting config (flip + domain
+    randomization active) without frame-mixing errors."""
+    from pdc_tpu.data.assembler import AssemblerConfig
+
+    cfg = AssemblerConfig(num_matching_attempts=500,
+                          num_masked_non_matches_per_match=3,
+                          num_background_non_matches_per_match=3,
+                          num_blind_samples=200,
+                          flip_augmentation=True, domain_randomize=True)
+    out = str(tmp_path / "panels_flip")
+    results = debug_batch_panels(dataset, 3, out, seed=5, cfg=cfg,
+                                 match_type=0)
+    assert len(results) == 3
+    for _, paths in results:
+        assert all(os.path.getsize(p) > 1000 for p in paths)
