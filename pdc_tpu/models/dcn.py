@@ -156,7 +156,37 @@ class DenseCorrespondenceNetwork:
             self._descriptor_image_stats = load_yaml(stats_file)
         return self._descriptor_image_stats
 
+    @property
+    def fcn(self):
+        """The backbone module (reference :62 returns the torch fcn)."""
+        return self.module
+
+    @property
+    def unique_identifier(self):
+        """The model folder's identifier.yaml id (reference :170-195):
+        '<identifier>-<iteration>' when constructed from a folder, else a
+        stable in-memory id."""
+        folder = self.config.get("path_to_network_params_folder")
+        if folder:
+            path = os.path.join(folder, "identifier.yaml")
+            if os.path.exists(path):
+                ident = load_yaml(path).get("identifier", "unknown")
+                tail = self.config.get("model_param_filename_tail", "")
+                it = "".join(c for c in tail if c.isdigit()) or "0"
+                return f"{ident}-{int(it)}"
+        return f"dcn-{id(self):x}"
+
+    @property
+    def constructed_from_model_folder(self) -> bool:
+        """True when built by from_model_folder (reference :157-167)."""
+        return bool(self.config.get("path_to_network_params_folder"))
+
     # -- forward passes -------------------------------------------------------
+
+    def forward_on_img_tensor(self, img):
+        """Alias of :meth:`forward_on_img` for an already float [H, W, 3]
+        RGB array in [0, 255] (reference :221-236)."""
+        return self.forward_on_img(np.asarray(img))
 
     def forward(self, img_tensor):
         """Forward a batch of already-normalized images.

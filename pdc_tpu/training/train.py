@@ -449,12 +449,12 @@ class DenseCorrespondenceTraining:
                 logger.info("device cache: %.0f MB", cache.nbytes / 1e6)
 
                 # fastest path: K steps per dispatch, pair sampling on device
-                # (supports within-scene/across-scene/different-object mixes;
-                # MULTI_OBJECT and SYNTHETIC_MULTI_OBJECT need the host
-                # sampler). K is clamped to the largest divisor of
+                # (within-scene/across-scene/different-object/synthetic-
+                # multi-object mixes; MULTI_OBJECT scene lists still need the
+                # host sampler). K is clamped to the largest divisor of
                 # num_iterations so runs end exactly on schedule.
                 type_probs = getattr(self._dataset, "_data_type_probabilities", {0: 1.0})
-                scannable = set(type_probs.keys()) <= {0, 1, 2}
+                scannable = set(type_probs.keys()) <= {0, 1, 2, 4}
                 n_iter = int(t["num_iterations"])
                 k_eff = next(
                     (k for k in range(min(steps_per_dispatch, n_iter), 0, -1)

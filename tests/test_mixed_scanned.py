@@ -242,9 +242,10 @@ def test_trainer_scans_mixed_types(tmp_path):
         logging_dir_name="mixed_scan",
     )
     cfg["training"]["data_type_probabilities"] = {
-        "SINGLE_OBJECT_WITHIN_SCENE": 0.6,
-        "SINGLE_OBJECT_ACROSS_SCENE": 0.2,
-        "DIFFERENT_OBJECT": 0.2,
+        "SINGLE_OBJECT_WITHIN_SCENE": 0.5,
+        "SINGLE_OBJECT_ACROSS_SCENE": 0.15,
+        "DIFFERENT_OBJECT": 0.15,
+        "SYNTHETIC_MULTI_OBJECT": 0.2,
     }
     cfg["dense_correspondence_network"].update(image_width=W, image_height=H)
     cfg["dense_correspondence_network"]["backbone"]["resnet_name"] = "Resnet18_8s"
