@@ -182,47 +182,70 @@ def _match_statistics_device(depth_a, depth_b, mask_b, uv_a, uv_b,
     }
 
 
+# pairs processed together per scan iteration of the fused sweep (vmapped
+# body): >1 lifts TPU utilization of the bandwidth-bound [HW, N] statistics
+# chains; memory per iteration grows linearly. Row results are per-pair
+# (each pair carries its own key), so the value only affects speed.
+SWEEP_VMAP_CHUNK = 4
+
+
 @functools.lru_cache(maxsize=8)
-def _fused_sweep_program(num_matches: int, padded_num_attempts: int):
+def _fused_sweep_program(num_matches: int, padded_num_attempts: int,
+                         vmap_chunk: int = 1):
     """Jitted scan-over-pairs program for the quantitative sweep: per pair,
     correspondence generation -> stable-argsort compaction of the first
-    ``num_matches`` valid candidates -> the [HW, N] match statistics. Cached
-    per (num_matches, padded_num_attempts) so repeated sweeps reuse the
-    executable."""
+    ``num_matches`` valid candidates -> the [HW, N] match statistics. With
+    ``vmap_chunk`` > 1 the scan advances ``vmap_chunk`` pairs per iteration
+    (vmapped body; the pairs axis must be a multiple of it). Cached per
+    signature so repeated sweeps reuse the executable."""
+
+    def body_one(res_stack, x):
+        H, W = x["depth_a"].shape
+        uv_a, uv_b, valid = find_pixel_correspondences(
+            x["depth_a"], x["pose_a"], x["depth_b"], x["pose_b"],
+            x["K"], x["key"], num_attempts=padded_num_attempts,
+            mask_a=x["mask_a"])
+        # first `num_matches` valid candidates, original order (the
+        # device analog of np.where(valid)[0][:num_matches])
+        order = jnp.argsort(jnp.logical_not(valid), stable=True)
+        keep = order[:num_matches]
+        gt_valid = jnp.take(valid, keep)
+        uv_a_k = jnp.take(uv_a, keep, axis=0)
+        uv_a_k = jnp.stack([jnp.clip(uv_a_k[:, 0], 0, W - 1),
+                            jnp.clip(uv_a_k[:, 1], 0, H - 1)],
+                           axis=-1).astype(jnp.int32)
+        uv_b_k = jnp.take(uv_b, keep, axis=0)
+        uv_b_int = jnp.stack([
+            jnp.clip(jnp.round(uv_b_k[:, 0]), 0, W - 1),
+            jnp.clip(jnp.round(uv_b_k[:, 1]), 0, H - 1),
+        ], axis=-1).astype(jnp.int32)
+        stats = dict(_match_statistics_device(
+            x["depth_a"], x["depth_b"], x["mask_b"], uv_a_k, uv_b_int,
+            x["pose_a"], x["pose_b"],
+            res_stack[x["ia"]], res_stack[x["ib"]], x["K"]))
+        stats.pop("uv_b_pred", None)
+        stats.pop("uv_b_pred_masked", None)
+        stats["gt_valid"] = gt_valid
+        return stats
 
     @jax.jit
     def run(res_stack, xs):
-        def body(carry, x):
-            H, W = x["depth_a"].shape
-            uv_a, uv_b, valid = find_pixel_correspondences(
-                x["depth_a"], x["pose_a"], x["depth_b"], x["pose_b"],
-                x["K"], x["key"], num_attempts=padded_num_attempts,
-                mask_a=x["mask_a"])
-            # first `num_matches` valid candidates, original order (the
-            # device analog of np.where(valid)[0][:num_matches])
-            order = jnp.argsort(jnp.logical_not(valid), stable=True)
-            keep = order[:num_matches]
-            gt_valid = jnp.take(valid, keep)
-            uv_a_k = jnp.take(uv_a, keep, axis=0)
-            uv_a_k = jnp.stack([jnp.clip(uv_a_k[:, 0], 0, W - 1),
-                                jnp.clip(uv_a_k[:, 1], 0, H - 1)],
-                               axis=-1).astype(jnp.int32)
-            uv_b_k = jnp.take(uv_b, keep, axis=0)
-            uv_b_int = jnp.stack([
-                jnp.clip(jnp.round(uv_b_k[:, 0]), 0, W - 1),
-                jnp.clip(jnp.round(uv_b_k[:, 1]), 0, H - 1),
-            ], axis=-1).astype(jnp.int32)
-            stats = dict(_match_statistics_device(
-                x["depth_a"], x["depth_b"], x["mask_b"], uv_a_k, uv_b_int,
-                x["pose_a"], x["pose_b"],
-                res_stack[x["ia"]], res_stack[x["ib"]], x["K"]))
-            stats.pop("uv_b_pred", None)
-            stats.pop("uv_b_pred_masked", None)
-            stats["gt_valid"] = gt_valid
-            return carry, stats
+        if vmap_chunk == 1:
+            def body(carry, x):
+                return carry, body_one(res_stack, x)
 
-        _, ys = jax.lax.scan(body, 0, xs)
-        return ys
+            _, ys = jax.lax.scan(body, 0, xs)
+            return ys
+
+        P = next(iter(xs.values())).shape[0]
+        g = {k: v.reshape((P // vmap_chunk, vmap_chunk) + v.shape[1:])
+             for k, v in xs.items()}
+
+        def body(carry, xc):
+            return carry, jax.vmap(lambda x: body_one(res_stack, x))(xc)
+
+        _, ys = jax.lax.scan(body, 0, g)
+        return {k: v.reshape((P,) + v.shape[2:]) for k, v in ys.items()}
 
     return run
 
@@ -615,8 +638,17 @@ class DenseCorrespondenceEvaluation:
         logger.debug("fused sweep chunk: %d pairs, ~%.2f GB on device",
                      len(pair_list), nbytes / 1e9)
         if mesh is None:
-            run = _fused_sweep_program(num_matches, padded_num_attempts)
+            chunk = SWEEP_VMAP_CHUNK
+            P_real = len(pair_list)
+            pad = (-P_real) % chunk
+            if pad:
+                xs = {k: jnp.concatenate([v] + [v[-1:]] * pad, axis=0)
+                      for k, v in xs.items()}
+            run = _fused_sweep_program(num_matches, padded_num_attempts,
+                                       chunk)
             stats_np = jax.device_get(run(res_stack, xs))
+            if pad:
+                stats_np = {k: v[:P_real] for k, v in stats_np.items()}
         else:
             # pad the pairs axis to a multiple of the mesh size (replicating
             # the last pair); padded rows are dropped after the fetch
