@@ -290,3 +290,21 @@ def test_dilated_s2b_rejects_bad_shapes():
     x = jax.numpy.zeros((1, 48, 64, 3))  # H/8=6 not divisible by 4
     with _pytest.raises(ValueError, match="divisible by 4"):
         s2b.init(jax.random.PRNGKey(0), x, train=False)
+
+
+def test_find_latest_checkpoint_numeric_ordering(tmp_path):
+    """Checkpoint discovery: digit-only stems, numeric (not lexicographic)
+    latest-pick past step 999999, sidecars never matched."""
+    import os
+
+    from pdc_tpu.models.dcn import find_latest_checkpoint
+
+    d = str(tmp_path)
+    for name in ("000100.ckpt", "999999.ckpt", "1000000.ckpt",
+                 "000100.ckpt.opt", "notes.ckpt"):
+        open(os.path.join(d, name), "wb").close()
+    assert find_latest_checkpoint(d).endswith("1000000.ckpt")
+    # suffix='.opt' must not pick the model-checkpoint sidecar unless the
+    # stem is digits
+    open(os.path.join(d, "000100.opt"), "wb").close()
+    assert find_latest_checkpoint(d, suffix=".opt").endswith("000100.opt")
