@@ -187,9 +187,10 @@ class ChangeDetection:
         :param background_points: geometry of the background-only scene; if
             None, the crop strategy is used
         :param raster_tile: per-triangle rasterization block size; None
-            (default) picks the smallest power of two covering the largest
-            visible triangle per render call and warns if faces would
-            truncate (renderer.pick_raster_tile)
+            (default) bins faces by projected extent and renders each bin at
+            the smallest covering power-of-two tile (several times fewer
+            z-buffer updates than one blanket tile; warns if faces exceed
+            the maximum tile — renderer.bin_faces_by_extent)
         """
         self.points = np.asarray(points_world, np.float32)
         self.faces = None if faces is None else np.asarray(faces, np.int32)
@@ -250,13 +251,20 @@ class ChangeDetection:
         if points is None and faces is None:
             faces = self.faces
         if faces is not None:
+            if self.raster_tile is None:
+                from pdc_tpu.pipeline.renderer import (
+                    render_depth_from_mesh_binned_many)
+
+                return np.asarray(render_depth_from_mesh_binned_many(
+                    pts, faces, np.asarray(camera_to_world, np.float32),
+                    self.K, self.H, self.W))[0]
             from pdc_tpu.pipeline.renderer import render_depth_from_mesh
 
             d = render_depth_from_mesh(
                 jnp.asarray(pts), jnp.asarray(faces),
                 jnp.asarray(camera_to_world, jnp.float32),
                 jnp.asarray(self.K), self.H, self.W,
-                tile=self._tile_for(pts, faces, camera_to_world),
+                tile=self.raster_tile,
             )
         else:
             d = render_depth_from_points(
@@ -276,24 +284,21 @@ class ChangeDetection:
 
         poses = np.asarray(poses, np.float32)
         if faces is not None:
+            if self.raster_tile is None:
+                from pdc_tpu.pipeline.renderer import (
+                    render_depth_from_mesh_binned_many)
+
+                return np.asarray(render_depth_from_mesh_binned_many(
+                    points, faces, poses, self.K, self.H, self.W))
             d = render_depth_from_mesh_many(
                 jnp.asarray(points), jnp.asarray(faces), jnp.asarray(poses),
                 jnp.asarray(self.K), self.H, self.W,
-                tile=self._tile_for(points, faces, poses))
+                tile=self.raster_tile)
         else:
             d = render_depth_from_points_many(
                 jnp.asarray(points), jnp.asarray(poses), jnp.asarray(self.K),
                 self.H, self.W, splat_radius=self.splat_radius)
         return np.asarray(d)
-
-    def _tile_for(self, points, faces, poses) -> int:
-        """Explicit ``raster_tile`` wins; otherwise auto-select from the
-        poses' projected triangle extents (and warn on truncation)."""
-        if self.raster_tile is not None:
-            return self.raster_tile
-        from pdc_tpu.pipeline.renderer import pick_raster_tile
-
-        return pick_raster_tile(points, faces, poses, self.K, self.H, self.W)
 
     def compute_mask(self, camera_to_world):
         mask, depth_fg = self.compute_masks(

@@ -79,6 +79,16 @@ def render_depth_from_mesh(vertices_world, faces, camera_to_world, K,
     :param faces: [F, 3] int32 vertex indices
     :return: [H, W] float32 metric depth; 0 where nothing projects
     """
+    zbuf = _mesh_zbuf(vertices_world, faces, camera_to_world, K, height,
+                      width, tile, chunk)
+    depth = jnp.where(zbuf >= INVALID_DEPTH, 0.0, zbuf)
+    return depth.reshape(height, width)
+
+
+def _mesh_zbuf(vertices_world, faces, camera_to_world, K,
+               height: int, width: int, tile: int, chunk: int):
+    """Raw [H*W] z-buffer (INVALID_DEPTH where empty) for one pose —
+    shared by the single-tile and size-binned render paths."""
     world_to_cam = invert_se3(jnp.asarray(camera_to_world, jnp.float32))
     pts_cam = transform_points(world_to_cam, jnp.asarray(vertices_world,
                                                          jnp.float32))
@@ -146,8 +156,94 @@ def render_depth_from_mesh(vertices_world, faces, camera_to_world, K,
         return zbuf.at[flat].min(val), None
 
     zbuf, _ = jax.lax.scan(raster_chunk, zbuf0, faces_p)
-    depth = jnp.where(zbuf >= INVALID_DEPTH, 0.0, zbuf)
-    return depth.reshape(height, width)
+    return zbuf
+
+
+def bin_faces_by_extent(vertices_world, faces, poses, K, height: int,
+                        width: int, min_tile: int = 4, max_tile: int = 64):
+    """Partition faces into power-of-two tile bins by their worst-case
+    (max-over-poses) projected bbox extent. The z-buffer scatter cost is
+    faces x tile^2, so rendering each bin at its own tile instead of one
+    blanket tile cuts the update count by ~tile_ratio^2 for the (typically
+    ~95%) voxel-scale faces of a TSDF mesh.
+
+    :return: list of (face_subset [Fi, 3] int32, tile) with Fi > 0; faces
+        never visible under any pose are dropped entirely
+    """
+    import numpy as np
+
+    poses = np.asarray(poses, np.float64)
+    if poses.ndim == 2:
+        poses = poses[None]
+    ext = np.zeros(len(faces))
+    for pose in poses:
+        ext = np.maximum(ext, projected_face_extents(
+            vertices_world, faces, pose, K, height, width))
+
+    faces = np.asarray(faces, np.int32)
+    bins = []
+    lo = 0.0
+    tile = min_tile
+    while True:
+        hi = tile if tile < max_tile else np.inf
+        sel = (ext > lo) & (ext <= hi) if lo > 0 else (ext > 0) & (ext <= hi)
+        if sel.any():
+            bins.append((faces[sel], tile))
+        if tile >= max_tile:
+            break
+        lo, tile = float(tile), tile * 2
+    if not bins:  # nothing visible; keep shapes simple for callers
+        bins.append((faces[:1] if len(faces) else faces, min_tile))
+    n_trunc = int((ext > max_tile).sum())
+    if n_trunc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh rasterization: %d faces project larger than max_tile=%d "
+            "and will render truncated", n_trunc, max_tile)
+    return bins
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "tiles", "chunk"))
+def _render_depth_binned_many(vertices_world, face_bins, poses, K,
+                              height: int, width: int, tiles: tuple,
+                              chunk: int = 65536):
+    """[P, H, W] depth for a stack of poses, rasterizing each face bin at
+    its own tile and min-combining the z-buffers (one dispatch)."""
+    def body(c, pose):
+        zbuf = jnp.full((height * width,), INVALID_DEPTH)
+        for fb, tile in zip(face_bins, tiles):
+            # per-bin chunk: a tiny bin must not pad to the full chunk (the
+            # padded degenerate faces still cost scatter updates)
+            c_bin = min(chunk, max(int(fb.shape[0]), 1))
+            zbuf = jnp.minimum(
+                zbuf, _mesh_zbuf(vertices_world, fb, pose, K, height, width,
+                                 tile, c_bin))
+        return c, jnp.where(zbuf >= INVALID_DEPTH, 0.0,
+                            zbuf).reshape(height, width)
+
+    _, depths = jax.lax.scan(body, 0, jnp.asarray(poses, jnp.float32))
+    return depths
+
+
+def render_depth_from_mesh_binned_many(vertices_world, faces, poses, K,
+                                       height: int, width: int,
+                                       min_tile: int = 4, max_tile: int = 64,
+                                       chunk: int = 65536):
+    """:func:`render_depth_from_mesh_many` with per-size-bin tiles — exact
+    same output (each face rasterizes with a tile covering its extent; the
+    z-buffer min is order-independent), several times fewer scatter updates
+    on voxel-scale meshes."""
+    poses = jnp.asarray(poses, jnp.float32)
+    bins = bin_faces_by_extent(vertices_world, faces, poses, K, height,
+                               width, min_tile=min_tile, max_tile=max_tile)
+    face_bins = tuple(jnp.asarray(fb) for fb, _ in bins)
+    tiles = tuple(int(t) for _, t in bins)
+    return _render_depth_binned_many(
+        jnp.asarray(vertices_world, jnp.float32), face_bins,
+        poses if poses.ndim == 3 else poses[None], jnp.asarray(K, jnp.float32),
+        height, width, tiles, chunk=chunk)
 
 
 @functools.partial(jax.jit,

@@ -143,9 +143,9 @@ def test_change_detection_uses_mesh(tmp_path):
 
 
 def test_auto_tile_covers_coarse_triangles():
-    """With raster_tile=None, ChangeDetection auto-picks a tile covering the
-    largest visible triangle — a coarse 2-triangle quad (screen extent ~20 px,
-    larger than the TSDF default tile=8) renders hole-free."""
+    """With raster_tile=None, ChangeDetection renders size-binned — a coarse
+    2-triangle quad (screen extent ~20 px, larger than the TSDF default
+    tile=8) lands in a covering bin and renders hole-free."""
     from pdc_tpu.pipeline.change_detection import ChangeDetection
     from pdc_tpu.pipeline.renderer import pick_raster_tile
 
@@ -156,6 +156,51 @@ def test_auto_tile_covers_coarse_triangles():
     _, depth_fg = cd.compute_mask(EYE)
     inside = depth_fg[24, 24:41]
     np.testing.assert_allclose(inside, 1.5, atol=1e-3)
+
+
+def test_binned_render_matches_blanket_tile():
+    """Size-binned rasterization is EXACT vs one blanket covering tile:
+    mixed mesh (fine grid + one coarse quad + one face behind the camera),
+    two poses, per-pixel equality."""
+    from pdc_tpu.pipeline.renderer import (
+        bin_faces_by_extent,
+        render_depth_from_mesh_binned_many,
+        render_depth_from_mesh_many,
+    )
+
+    rng = np.random.RandomState(0)
+    # fine grid of small triangles around z=1.8
+    g = 8
+    xs = np.linspace(-0.25, 0.25, g)
+    ys = np.linspace(-0.18, 0.18, g)
+    gv = np.array([[x, y, 1.8 + 0.02 * rng.rand()] for y in ys for x in xs],
+                  np.float32)
+    gf = []
+    for j in range(g - 1):
+        for i in range(g - 1):
+            a, b, c, d = (j * g + i, j * g + i + 1,
+                          (j + 1) * g + i, (j + 1) * g + i + 1)
+            gf += [[a, b, d], [a, d, c]]
+    # one coarse near quad + one face fully behind the camera
+    qv, qf = _quad(lambda x, y: 1.0, x0=-0.06, x1=0.06, y0=-0.05, y1=0.05)
+    bv = np.array([[0, 0, -1.0], [1, 0, -1.0], [0, 1, -1.0]], np.float32)
+    verts = np.concatenate([gv, qv, bv])
+    faces = np.concatenate([np.asarray(gf, np.int32),
+                            qf + len(gv),
+                            np.asarray([[0, 1, 2]], np.int32) + len(gv) + 4])
+    pose2 = EYE.copy()
+    pose2[0, 3] = 0.05
+    poses = np.stack([EYE, pose2])
+
+    bins = bin_faces_by_extent(verts, faces, poses, K, H, W)
+    assert len(bins) >= 2  # fine faces and the coarse quad separate
+    assert sum(len(fb) for fb, _ in bins) < len(faces)  # behind-face dropped
+
+    d_binned = np.asarray(render_depth_from_mesh_binned_many(
+        verts, faces, poses, K, H, W))
+    d_blanket = np.asarray(render_depth_from_mesh_many(
+        verts, faces, poses, K, H, W, tile=32))
+    np.testing.assert_array_equal(d_binned, d_blanket)
 
 
 def test_pick_raster_tile_warns_on_truncation(caplog):
