@@ -253,9 +253,9 @@ class ChangeDetection:
         if faces is not None:
             if self.raster_tile is None:
                 from pdc_tpu.pipeline.renderer import (
-                    render_depth_from_mesh_binned_many)
+                    render_depth_from_mesh_sorted_many)
 
-                return np.asarray(render_depth_from_mesh_binned_many(
+                return np.asarray(render_depth_from_mesh_sorted_many(
                     pts, faces, np.asarray(camera_to_world, np.float32),
                     self.K, self.H, self.W))[0]
             from pdc_tpu.pipeline.renderer import render_depth_from_mesh
@@ -286,9 +286,9 @@ class ChangeDetection:
         if faces is not None:
             if self.raster_tile is None:
                 from pdc_tpu.pipeline.renderer import (
-                    render_depth_from_mesh_binned_many)
+                    render_depth_from_mesh_sorted_many)
 
-                return np.asarray(render_depth_from_mesh_binned_many(
+                return np.asarray(render_depth_from_mesh_sorted_many(
                     points, faces, poses, self.K, self.H, self.W))
             d = render_depth_from_mesh_many(
                 jnp.asarray(points), jnp.asarray(faces), jnp.asarray(poses),

@@ -256,3 +256,48 @@ def test_synthetic_fusion_mesh_pipeline(tmp_path):
     inter = (gt & pred).sum()
     union = (gt | pred).sum()
     assert inter / union > 0.7, f"IoU {inter/union:.2f}"
+
+
+def test_sorted_render_matches_blanket_tile():
+    """Sort-based z-buffering (no scatter) is EXACT vs the scatter path on
+    the mixed mesh."""
+    from pdc_tpu.pipeline.renderer import (
+        render_depth_from_mesh_many,
+        render_depth_from_mesh_sorted_many,
+    )
+
+    rng = np.random.RandomState(1)
+    g = 6
+    xs = np.linspace(-0.25, 0.25, g)
+    ys = np.linspace(-0.18, 0.18, g)
+    gv = np.array([[x, y, 1.8 + 0.02 * rng.rand()] for y in ys for x in xs],
+                  np.float32)
+    gf = []
+    for j in range(g - 1):
+        for i in range(g - 1):
+            a, b, c, d = (j * g + i, j * g + i + 1,
+                          (j + 1) * g + i, (j + 1) * g + i + 1)
+            gf += [[a, b, d], [a, d, c]]
+    qv, qf = _quad(lambda x, y: 1.0, x0=-0.06, x1=0.06, y0=-0.05, y1=0.05)
+    verts = np.concatenate([gv, qv])
+    faces = np.concatenate([np.asarray(gf, np.int32), qf + len(gv)])
+    pose2 = EYE.copy()
+    pose2[1, 3] = -0.04
+    poses = np.stack([EYE, pose2])
+
+    d_sorted = np.asarray(render_depth_from_mesh_sorted_many(
+        verts, faces, poses, K, H, W))
+    d_blanket = np.asarray(render_depth_from_mesh_many(
+        verts, faces, poses, K, H, W, tile=32))
+    np.testing.assert_array_equal(d_sorted, d_blanket)
+
+
+def test_sorted_render_empty_view():
+    """No visible faces -> all-zero depth (sentinel pixels never hit)."""
+    from pdc_tpu.pipeline.renderer import render_depth_from_mesh_sorted_many
+
+    verts = np.array([[0, 0, -1.0], [1, 0, -1.0], [0, 1, -1.0]], np.float32)
+    faces = np.array([[0, 1, 2]], np.int32)
+    d = np.asarray(render_depth_from_mesh_sorted_many(
+        verts, faces, EYE, K, H, W))
+    assert d.shape == (1, H, W) and (d == 0).all()

@@ -100,6 +100,30 @@ def main():
     results["binned_frames_per_sec"] = round(1e3 / ms_b, 1)
     log(f"binned: {ms_b:.2f} ms/frame ({1e3/ms_b:.0f} frames/s, "
         f"{ms/ms_b:.2f}x)")
+
+    # sort-based z-buffering (round 3): the TPU scatter-min measures
+    # ~9 ns/update (~220 ms of the 254 ms frame); sorting the (pixel, depth)
+    # fragments and segment-extracting replaces it entirely
+    from pdc_tpu.pipeline.renderer import render_depth_from_mesh_sorted_many
+
+    def run_sorted():
+        d = render_depth_from_mesh_sorted_many(
+            verts_d, faces_d, poses, scene.K, H, W)
+        return float(jnp.sum(d))
+
+    t0 = time.perf_counter()
+    run_sorted()
+    log(f"sorted compile+first: {time.perf_counter()-t0:.1f}s")
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run_sorted()
+        times.append(time.perf_counter() - t0)
+    ms_s = min(times) / len(poses) * 1e3
+    results["sorted_ms_per_frame"] = round(ms_s, 2)
+    results["sorted_frames_per_sec"] = round(1e3 / ms_s, 1)
+    log(f"sorted: {ms_s:.2f} ms/frame ({1e3/ms_s:.0f} frames/s, "
+        f"{ms/ms_s:.2f}x vs blanket)")
     print(json.dumps(results, indent=1))
 
 
