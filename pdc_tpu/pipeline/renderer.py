@@ -298,6 +298,32 @@ def _face_pixels(vertices_world, faces, camera_to_world, K,
     return flat, val
 
 
+def _reduce_min_fragments(flat, val, hw: int):
+    """Per-pixel min over (pixel, depth) fragments WITHOUT a fragment-scale
+    scatter: 2-key lexicographic sort (each pixel's nearest fragment is the
+    FIRST of its run), then compact the run-start winners to the front with
+    a second 1-key sort, leaving a <= hw scatter. Alternatives measured and
+    rejected: searchsorted extraction (binary-search gathers cost 3x both
+    sorts combined), segmented-min associative scan (>25 min compile).
+
+    :param flat: [M] int32 pixel ids; ``hw`` = masked/invalid sentinel
+    :param val: [M] float32 depths (INVALID_DEPTH on masked rows)
+    :return: [hw] float32 depth, 0 where no fragment landed
+    """
+    flat_s, val_s = jax.lax.sort((flat, val), num_keys=2)
+    start = jnp.concatenate([
+        jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
+    key2 = jnp.where(start & (flat_s < hw), flat_s, hw)
+    win_px, win_val = jax.lax.sort((key2, val_s), num_keys=1)
+    win_px = win_px[:hw]
+    win_val = win_val[:hw]
+    ok = (win_px < hw) & (win_val < INVALID_DEPTH)
+    # masked rows write 0 at index 0; max keeps any real (positive) depth
+    # regardless of duplicate-write ordering
+    return jnp.zeros((hw,)).at[jnp.where(ok, win_px, 0)].max(
+        jnp.where(ok, win_val, 0.0))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "tiles"))
 def _render_depth_sorted_many(vertices_world, face_bins, poses, K,
@@ -322,25 +348,7 @@ def _render_depth_sorted_many(vertices_world, face_bins, poses, K,
         ]
         flat = jnp.concatenate([p[0] for p in parts])
         val = jnp.concatenate([p[1] for p in parts])
-        # 2-key lexicographic sort (pixel id, then depth): each pixel's
-        # nearest fragment is the FIRST of its run. Winners are then
-        # compacted to the front by a second (1-key) sort on a
-        # run-start-or-sentinel key, leaving a <= hw scatter — a
-        # searchsorted extraction was measured 3x the cost of both sorts
-        # combined (binary-search gathers at fragment scale), and a
-        # segmented-min associative scan took >25 min to compile.
-        flat_s, val_s = jax.lax.sort((flat, val), num_keys=2)
-        start = jnp.concatenate([
-            jnp.ones((1,), bool), flat_s[1:] != flat_s[:-1]])
-        key2 = jnp.where(start & (flat_s < hw), flat_s, hw)
-        win_px, win_val = jax.lax.sort((key2, val_s), num_keys=1)
-        win_px = win_px[:hw]
-        win_val = win_val[:hw]
-        ok = win_px < hw
-        # masked rows write 0 at index 0; max keeps any real (positive)
-        # depth regardless of duplicate-write ordering
-        depth = jnp.zeros((hw,)).at[jnp.where(ok, win_px, 0)].max(
-            jnp.where(ok, win_val, 0.0))
+        depth = _reduce_min_fragments(flat, val, hw)
         return c, depth.reshape(height, width)
 
     _, depths = jax.lax.scan(body, 0, jnp.asarray(poses, jnp.float32))
@@ -362,6 +370,42 @@ def render_depth_from_mesh_sorted_many(vertices_world, faces, poses, K,
         jnp.asarray(vertices_world, jnp.float32), face_bins,
         poses if poses.ndim == 3 else poses[None],
         jnp.asarray(K, jnp.float32), height, width, tiles)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("height", "width", "splat_radius"))
+def render_depth_from_points_sorted_many(points_world, poses, K, height: int,
+                                         width: int, splat_radius: int = 1):
+    """:func:`render_depth_from_points_many` with the sort-based fragment
+    reducer instead of the scatter-min z-buffer (same output; see
+    _reduce_min_fragments)."""
+    hw = height * width
+    pts = jnp.asarray(points_world, jnp.float32)
+    Kf = jnp.asarray(K, jnp.float32)
+
+    def body(c, pose):
+        world_to_cam = invert_se3(pose)
+        pts_cam = transform_points(world_to_cam, pts)
+        z = pts_cam[:, 2]
+        proj = pts_cam @ Kf.T
+        denom = jnp.where(jnp.abs(proj[:, 2]) < 1e-9, 1e-9, proj[:, 2])
+        u = proj[:, 0] / denom
+        v = proj[:, 1] / denom
+        in_front = z > 1e-6
+        flats, vals = [], []
+        for du in range(-splat_radius, splat_radius + 1):
+            for dv in range(-splat_radius, splat_radius + 1):
+                ui = jnp.round(u).astype(jnp.int32) + du
+                vi = jnp.round(v).astype(jnp.int32) + dv
+                ok = in_front & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+                flats.append(jnp.where(ok, vi * width + ui, hw))
+                vals.append(jnp.where(ok, z, INVALID_DEPTH))
+        depth = _reduce_min_fragments(jnp.concatenate(flats),
+                                      jnp.concatenate(vals), hw)
+        return c, depth.reshape(height, width)
+
+    _, depths = jax.lax.scan(body, 0, jnp.asarray(poses, jnp.float32))
+    return depths
 
 
 @functools.partial(jax.jit,

@@ -301,3 +301,24 @@ def test_sorted_render_empty_view():
     d = np.asarray(render_depth_from_mesh_sorted_many(
         verts, faces, EYE, K, H, W))
     assert d.shape == (1, H, W) and (d == 0).all()
+
+
+def test_points_sorted_matches_scatter():
+    """Sort-based point-splat rendering == the scatter z-buffer."""
+    from pdc_tpu.pipeline.renderer import (
+        render_depth_from_points_many,
+        render_depth_from_points_sorted_many,
+    )
+
+    rng = np.random.RandomState(2)
+    pts = np.stack([rng.uniform(-0.4, 0.4, 600),
+                    rng.uniform(-0.3, 0.3, 600),
+                    rng.uniform(0.8, 2.5, 600)], axis=-1).astype(np.float32)
+    pts[:10, 2] = -1.0  # some behind the camera
+    pose2 = EYE.copy()
+    pose2[0, 3] = 0.03
+    poses = np.stack([EYE, pose2])
+    d_scatter = np.asarray(render_depth_from_points_many(pts, poses, K, H, W))
+    d_sorted = np.asarray(render_depth_from_points_sorted_many(
+        pts, poses, K, H, W))
+    np.testing.assert_array_equal(d_scatter, d_sorted)
