@@ -90,8 +90,7 @@ class TSDFReconstruction:
         import jax.numpy as jnp
 
         from pdc_tpu.pipeline.renderer import (
-            pick_raster_tile,
-            render_depth_from_mesh,
+            render_depth_from_mesh_sorted_many,
             render_depth_from_points,
         )
 
@@ -103,11 +102,9 @@ class TSDFReconstruction:
             if cropped and self.crop_box is not None:
                 inside = self.crop_box.contains(self._all_points)
                 faces = faces[np.any(inside[faces], axis=1)]
-            tile = pick_raster_tile(self._all_points, faces,
-                                    np.asarray(pose), np.asarray(K), H, W)
-            d = render_depth_from_mesh(
-                jnp.asarray(self._all_points), jnp.asarray(faces), pose, K, H,
-                W, tile=tile)
+            d = render_depth_from_mesh_sorted_many(
+                self._all_points, faces, np.asarray(pose), np.asarray(K),
+                H, W)[0]
         else:
             pts = self.points if cropped else self._all_points
             d = render_depth_from_points(
