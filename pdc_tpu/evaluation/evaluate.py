@@ -638,7 +638,9 @@ class DenseCorrespondenceEvaluation:
         logger.debug("fused sweep chunk: %d pairs, ~%.2f GB on device",
                      len(pair_list), nbytes / 1e9)
         if mesh is None:
-            chunk = SWEEP_VMAP_CHUNK
+            # the body holds ~5 [HW, N] f32 intermediates per vmapped pair;
+            # cap the chunk so large num_matches sweeps stay within HBM
+            chunk = max(1, min(SWEEP_VMAP_CHUNK, 400 // max(num_matches, 1)))
             P_real = len(pair_list)
             pad = (-P_real) % chunk
             if pad:
