@@ -208,9 +208,19 @@ def debug_batch_panels(dataset, num_pairs: int, output_dir: str,
         # the assembler may have 180-flipped either image AFTER the raw
         # frames were read: indices (and disp_*) are post-flip, the raw
         # depth/mask arrays pre-flip — align the displayed arrays to the
-        # indices' frame (detect_flip: match/mask agreement per side)
-        flip_a = detect_flip(s.matches_a, m_valid, pair.mask_a)
-        flip_b = detect_flip(s.matches_b, m_valid, pair.mask_b)
+        # indices' frame. Match indices carry the flip signal for
+        # within-scene types; match-less types (across-scene/different-
+        # object) fall back to the blind sets, which are sampled on the
+        # masks too.
+        def side_flip(primary, primary_valid, fallback, fallback_valid, mask):
+            if np.asarray(primary_valid).any():
+                return detect_flip(primary, primary_valid, mask)
+            return detect_flip(fallback, fallback_valid, mask)
+
+        flip_a = side_flip(s.matches_a, m_valid,
+                           s.blind_nm_a, s.blind_nm_valid, pair.mask_a)
+        flip_b = side_flip(s.matches_b, m_valid,
+                           s.blind_nm_b, s.blind_nm_valid, pair.mask_b)
         if flip_a:
             depth_a = depth_a[::-1, ::-1]
         if flip_b:

@@ -163,18 +163,20 @@ class DenseCorrespondenceNetwork:
 
     @property
     def unique_identifier(self):
-        """The model folder's identifier.yaml id (reference :170-195):
-        '<identifier>-<iteration>' when constructed from a folder, else a
-        stable in-memory id."""
+        """The model folder's identifier (reference :170-195):
+        '<id>+<checkpoint tail>' when constructed from a folder with an
+        identifier.yaml (the trainer writes ``{'id': uuid}``), else None."""
         folder = self.config.get("path_to_network_params_folder")
-        if folder:
-            path = os.path.join(folder, "identifier.yaml")
-            if os.path.exists(path):
-                ident = load_yaml(path).get("identifier", "unknown")
-                tail = self.config.get("model_param_filename_tail", "")
-                it = "".join(c for c in tail if c.isdigit()) or "0"
-                return f"{ident}-{int(it)}"
-        return f"dcn-{id(self):x}"
+        if not folder:
+            return None
+        path = os.path.join(folder, "identifier.yaml")
+        if not os.path.exists(path):
+            return None
+        ident = load_yaml(path).get("id")
+        if ident is None:
+            return None
+        tail = self.config.get("model_param_filename_tail", "")
+        return f"{ident}+{tail}"
 
     @property
     def constructed_from_model_folder(self) -> bool:
@@ -184,9 +186,16 @@ class DenseCorrespondenceNetwork:
     # -- forward passes -------------------------------------------------------
 
     def forward_on_img_tensor(self, img):
-        """Alias of :meth:`forward_on_img` for an already float [H, W, 3]
-        RGB array in [0, 255] (reference :221-236)."""
-        return self.forward_on_img(np.asarray(img))
+        """[H, W, 3] float RGB in [0, 1] -> descriptor image. Deprecated in
+        the reference too (:221-236: runs the fcn WITHOUT the mean/std
+        normalization); kept with the same no-normalization contract so
+        migrated callers get reference behavior. Use :meth:`forward` /
+        :meth:`forward_on_img` instead."""
+        import warnings
+
+        warnings.warn("use forward/forward_on_img instead", DeprecationWarning)
+        return self.forward_single_image_tensor(
+            jnp.asarray(img, jnp.float32))
 
     def forward(self, img_tensor):
         """Forward a batch of already-normalized images.

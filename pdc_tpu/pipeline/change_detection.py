@@ -251,20 +251,24 @@ class ChangeDetection:
         if points is None and faces is None:
             faces = self.faces
         if faces is not None:
-            if self.raster_tile is None:
-                from pdc_tpu.pipeline.renderer import (
-                    render_depth_from_mesh_sorted_many)
+            from pdc_tpu.pipeline.renderer import (
+                pick_raster_tile,
+                render_depth_from_mesh,
+            )
 
-                return np.asarray(render_depth_from_mesh_sorted_many(
-                    pts, faces, np.asarray(camera_to_world, np.float32),
-                    self.K, self.H, self.W))[0]
-            from pdc_tpu.pipeline.renderer import render_depth_from_mesh
-
+            # per-frame API: the static-shape scatter path compiles once per
+            # tile value; the sort-based renderer's per-pose face bins would
+            # change shapes (and recompile) on every call — reserved for the
+            # whole-scene batched path (_render_depth_many)
+            tile = self.raster_tile
+            if tile is None:
+                tile = pick_raster_tile(pts, faces, camera_to_world, self.K,
+                                        self.H, self.W)
             d = render_depth_from_mesh(
                 jnp.asarray(pts), jnp.asarray(faces),
                 jnp.asarray(camera_to_world, jnp.float32),
                 jnp.asarray(self.K), self.H, self.W,
-                tile=self.raster_tile,
+                tile=tile,
             )
         else:
             d = render_depth_from_points(

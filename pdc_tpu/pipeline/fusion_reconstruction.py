@@ -90,7 +90,8 @@ class TSDFReconstruction:
         import jax.numpy as jnp
 
         from pdc_tpu.pipeline.renderer import (
-            render_depth_from_mesh_sorted_many,
+            pick_raster_tile,
+            render_depth_from_mesh,
             render_depth_from_points,
         )
 
@@ -102,9 +103,15 @@ class TSDFReconstruction:
             if cropped and self.crop_box is not None:
                 inside = self.crop_box.contains(self._all_points)
                 faces = faces[np.any(inside[faces], axis=1)]
-            d = render_depth_from_mesh_sorted_many(
-                self._all_points, faces, np.asarray(pose), np.asarray(K),
-                H, W)[0]
+            # per-frame API: the static-shape scatter path compiles once per
+            # tile value; the sort-based path's per-pose face bins would
+            # change input shapes (and recompile) on every call — it is the
+            # right tool only for whole-scene batched renders
+            tile = pick_raster_tile(self._all_points, faces,
+                                    np.asarray(pose), np.asarray(K), H, W)
+            d = render_depth_from_mesh(
+                jnp.asarray(self._all_points), jnp.asarray(faces), pose, K, H,
+                W, tile=tile)
         else:
             pts = self.points if cropped else self._all_points
             d = render_depth_from_points(

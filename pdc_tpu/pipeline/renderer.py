@@ -85,10 +85,8 @@ def render_depth_from_mesh(vertices_world, faces, camera_to_world, K,
     return depth.reshape(height, width)
 
 
-def _mesh_zbuf(vertices_world, faces, camera_to_world, K,
-               height: int, width: int, tile: int, chunk: int):
-    """Raw [H*W] z-buffer (INVALID_DEPTH where empty) for one pose —
-    shared by the single-tile and size-binned render paths."""
+def _project_vertices(vertices_world, camera_to_world, K):
+    """Screen-space (u, v) + camera depth z for all vertices under a pose."""
     world_to_cam = invert_se3(jnp.asarray(camera_to_world, jnp.float32))
     pts_cam = transform_points(world_to_cam, jnp.asarray(vertices_world,
                                                          jnp.float32))
@@ -96,8 +94,64 @@ def _mesh_zbuf(vertices_world, faces, camera_to_world, K,
     z = pts_cam[:, 2]
     proj = pts_cam @ Kf.T
     denom = jnp.where(jnp.abs(proj[:, 2]) < 1e-9, 1e-9, proj[:, 2])
-    u = proj[:, 0] / denom
-    v = proj[:, 1] / denom
+    return proj[:, 0] / denom, proj[:, 1] / denom, z
+
+
+def _fragments_from_faces(u, v, z, f, height: int, width: int, tile: int,
+                          masked_flat: int):
+    """(flat [C*tile^2] pixel ids, val [C*tile^2] depths) for faces ``f``
+    over pre-projected vertices: per-face bbox-anchored tile x tile block,
+    edge-function coverage (both windings), perspective-correct 1/z depth.
+    Masked/culled entries get (``masked_flat``, INVALID_DEPTH). Shared by
+    the scatter-min and sort-based reducers, so their geometry is one code
+    path."""
+    off = jnp.arange(tile)
+    du, dv = jnp.meshgrid(off, off, indexing="xy")
+    du = du.reshape(-1)  # [tile*tile]
+    dv = dv.reshape(-1)
+
+    tu, tv, tz = u[f], v[f], z[f]
+    in_front = jnp.all(tz > 1e-6, axis=1)  # [C]
+
+    # bbox anchor per triangle
+    u0 = jnp.floor(jnp.min(tu, axis=1)).astype(jnp.int32)  # [C]
+    v0 = jnp.floor(jnp.min(tv, axis=1)).astype(jnp.int32)
+    px = (u0[:, None] + du[None, :]).astype(jnp.float32) + 0.5  # [C, T2]
+    py = (v0[:, None] + dv[None, :]).astype(jnp.float32) + 0.5
+
+    # edge functions (signed areas); both windings accepted
+    x1, x2, x3 = tu[:, 0:1], tu[:, 1:2], tu[:, 2:3]
+    y1, y2, y3 = tv[:, 0:1], tv[:, 1:2], tv[:, 2:3]
+    w0 = (x3 - x2) * (py - y2) - (y3 - y2) * (px - x2)
+    w1 = (x1 - x3) * (py - y3) - (y1 - y3) * (px - x3)
+    w2 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
+    area = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)  # [C, 1]
+    pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
+    neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
+    ok_area = jnp.abs(area) > 1e-12
+    inside = (pos | neg) & ok_area & in_front[:, None]
+
+    # perspective-correct depth: interpolate 1/z with screen barycentrics
+    safe_area = jnp.where(ok_area, area, 1.0)
+    l0 = w0 / safe_area
+    l1 = w1 / safe_area
+    l2 = w2 / safe_area
+    inv_z = (l0 / tz[:, 0:1] + l1 / tz[:, 1:2] + l2 / tz[:, 2:3])
+    depth = 1.0 / jnp.maximum(inv_z, 1e-9)
+
+    ui = u0[:, None] + du[None, :]
+    vi = v0[:, None] + dv[None, :]
+    ok = inside & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
+    flat = jnp.where(ok, vi * width + ui, masked_flat).reshape(-1)
+    val = jnp.where(ok, depth, INVALID_DEPTH).reshape(-1)
+    return flat, val
+
+
+def _mesh_zbuf(vertices_world, faces, camera_to_world, K,
+               height: int, width: int, tile: int, chunk: int):
+    """Raw [H*W] z-buffer (INVALID_DEPTH where empty) for one pose —
+    shared by the single-tile and size-binned render paths."""
+    u, v, z = _project_vertices(vertices_world, camera_to_world, K)
 
     faces = jnp.asarray(faces, jnp.int32)
     n_faces = faces.shape[0]
@@ -107,52 +161,11 @@ def _mesh_zbuf(vertices_world, faces, camera_to_world, K,
         [faces, jnp.zeros((pad, 3), jnp.int32)], axis=0
     ).reshape(-1, chunk, 3)
 
-    # static tile offsets
-    off = jnp.arange(tile)
-    du, dv = jnp.meshgrid(off, off, indexing="xy")
-    du = du.reshape(-1)  # [tile*tile]
-    dv = dv.reshape(-1)
-
     zbuf0 = jnp.full((height * width,), INVALID_DEPTH)
 
     def raster_chunk(zbuf, f):
-        # triangle vertex screen coords [C, 3]
-        tu = u[f]
-        tv = v[f]
-        tz = z[f]
-        in_front = jnp.all(tz > 1e-6, axis=1)  # [C]
-
-        # bbox anchor per triangle
-        u0 = jnp.floor(jnp.min(tu, axis=1)).astype(jnp.int32)  # [C]
-        v0 = jnp.floor(jnp.min(tv, axis=1)).astype(jnp.int32)
-        px = (u0[:, None] + du[None, :]).astype(jnp.float32) + 0.5  # [C, T2]
-        py = (v0[:, None] + dv[None, :]).astype(jnp.float32) + 0.5
-
-        # edge functions (signed areas); both windings accepted
-        x1, x2, x3 = tu[:, 0:1], tu[:, 1:2], tu[:, 2:3]
-        y1, y2, y3 = tv[:, 0:1], tv[:, 1:2], tv[:, 2:3]
-        w0 = (x3 - x2) * (py - y2) - (y3 - y2) * (px - x2)
-        w1 = (x1 - x3) * (py - y3) - (y1 - y3) * (px - x3)
-        w2 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-        area = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)  # [C, 1]
-        pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-        neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
-        ok_area = jnp.abs(area) > 1e-12
-        inside = (pos | neg) & ok_area & in_front[:, None]
-
-        # perspective-correct depth: interpolate 1/z with screen barycentrics
-        safe_area = jnp.where(ok_area, area, 1.0)
-        l0 = w0 / safe_area
-        l1 = w1 / safe_area
-        l2 = w2 / safe_area
-        inv_z = (l0 / tz[:, 0:1] + l1 / tz[:, 1:2] + l2 / tz[:, 2:3])
-        depth = 1.0 / jnp.maximum(inv_z, 1e-9)
-
-        ui = u0[:, None] + du[None, :]
-        vi = v0[:, None] + dv[None, :]
-        ok = inside & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
-        flat = jnp.where(ok, vi * width + ui, 0).reshape(-1)
-        val = jnp.where(ok, depth, INVALID_DEPTH).reshape(-1)
+        flat, val = _fragments_from_faces(u, v, z, f, height, width, tile,
+                                          masked_flat=0)
         return zbuf.at[flat].min(val), None
 
     zbuf, _ = jax.lax.scan(raster_chunk, zbuf0, faces_p)
@@ -250,52 +263,12 @@ def _face_pixels(vertices_world, faces, camera_to_world, K,
                  height: int, width: int, tile: int):
     """Per-face tile rasterization WITHOUT the z-buffer reduction: returns
     (flat [F*tile^2] int32 pixel ids — H*W for culled/masked entries — and
-    val [F*tile^2] float32 depths). Shared geometry of the scatter and
-    sort-based reducers."""
-    world_to_cam = invert_se3(jnp.asarray(camera_to_world, jnp.float32))
-    pts_cam = transform_points(world_to_cam, jnp.asarray(vertices_world,
-                                                         jnp.float32))
-    Kf = jnp.asarray(K, jnp.float32)
-    z = pts_cam[:, 2]
-    proj = pts_cam @ Kf.T
-    denom = jnp.where(jnp.abs(proj[:, 2]) < 1e-9, 1e-9, proj[:, 2])
-    u = proj[:, 0] / denom
-    v = proj[:, 1] / denom
-
-    f = jnp.asarray(faces, jnp.int32)
-    off = jnp.arange(tile)
-    du, dv = jnp.meshgrid(off, off, indexing="xy")
-    du = du.reshape(-1)
-    dv = dv.reshape(-1)
-
-    tu, tv, tz = u[f], v[f], z[f]
-    in_front = jnp.all(tz > 1e-6, axis=1)
-    u0 = jnp.floor(jnp.min(tu, axis=1)).astype(jnp.int32)
-    v0 = jnp.floor(jnp.min(tv, axis=1)).astype(jnp.int32)
-    px = (u0[:, None] + du[None, :]).astype(jnp.float32) + 0.5
-    py = (v0[:, None] + dv[None, :]).astype(jnp.float32) + 0.5
-    x1, x2, x3 = tu[:, 0:1], tu[:, 1:2], tu[:, 2:3]
-    y1, y2, y3 = tv[:, 0:1], tv[:, 1:2], tv[:, 2:3]
-    w0 = (x3 - x2) * (py - y2) - (y3 - y2) * (px - x2)
-    w1 = (x1 - x3) * (py - y3) - (y1 - y3) * (px - x3)
-    w2 = (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1)
-    area = (x2 - x1) * (y3 - y1) - (y2 - y1) * (x3 - x1)
-    pos = (w0 >= 0) & (w1 >= 0) & (w2 >= 0)
-    neg = (w0 <= 0) & (w1 <= 0) & (w2 <= 0)
-    ok_area = jnp.abs(area) > 1e-12
-    inside = (pos | neg) & ok_area & in_front[:, None]
-    safe_area = jnp.where(ok_area, area, 1.0)
-    l0 = w0 / safe_area
-    l1 = w1 / safe_area
-    l2 = w2 / safe_area
-    inv_z = (l0 / tz[:, 0:1] + l1 / tz[:, 1:2] + l2 / tz[:, 2:3])
-    depth = 1.0 / jnp.maximum(inv_z, 1e-9)
-    ui = u0[:, None] + du[None, :]
-    vi = v0[:, None] + dv[None, :]
-    ok = inside & (ui >= 0) & (ui < width) & (vi >= 0) & (vi < height)
-    flat = jnp.where(ok, vi * width + ui, height * width).reshape(-1)
-    val = jnp.where(ok, depth, INVALID_DEPTH).reshape(-1)
-    return flat, val
+    val [F*tile^2] float32 depths). Projection + fragment geometry shared
+    with the scatter path (_fragments_from_faces)."""
+    u, v, z = _project_vertices(vertices_world, camera_to_world, K)
+    return _fragments_from_faces(u, v, z, jnp.asarray(faces, jnp.int32),
+                                 height, width, tile,
+                                 masked_flat=height * width)
 
 
 def _reduce_min_fragments(flat, val, hw: int):
@@ -357,15 +330,32 @@ def _render_depth_sorted_many(vertices_world, face_bins, poses, K,
 
 def render_depth_from_mesh_sorted_many(vertices_world, faces, poses, K,
                                        height: int, width: int,
-                                       min_tile: int = 2, max_tile: int = 64):
+                                       min_tile: int = 2, max_tile: int = 64,
+                                       max_fragments: int = 64_000_000):
     """Sort-based mesh depth rendering for a stack of poses (one dispatch),
-    with per-extent face bins. Exact same output as the scatter renderers;
-    ~3x faster at TSDF scale (see _render_depth_sorted_many)."""
+    with per-extent face bins. Same output as the scatter renderers;
+    measured 1.55x at TSDF scale (see _render_depth_sorted_many).
+
+    The sort materializes every fragment of a frame at once (the scatter
+    path is chunk-bounded instead); when the binned fragment count exceeds
+    ``max_fragments`` — close-up poses pushing many faces into large-tile
+    bins — this falls back to the memory-bounded binned scatter path."""
     poses = jnp.asarray(poses, jnp.float32)
     bins = bin_faces_by_extent(vertices_world, faces, poses, K, height,
                                width, min_tile=min_tile, max_tile=max_tile)
+    n_fragments = sum(len(fb) * t * t for fb, t in bins)
     face_bins = tuple(jnp.asarray(fb) for fb, _ in bins)
     tiles = tuple(int(t) for _, t in bins)
+    if n_fragments > max_fragments:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "sorted renderer: %d fragments exceed the %d budget; using the "
+            "chunk-bounded scatter path", n_fragments, max_fragments)
+        return _render_depth_binned_many(
+            jnp.asarray(vertices_world, jnp.float32), face_bins,
+            poses if poses.ndim == 3 else poses[None],
+            jnp.asarray(K, jnp.float32), height, width, tiles)
     return _render_depth_sorted_many(
         jnp.asarray(vertices_world, jnp.float32), face_bins,
         poses if poses.ndim == 3 else poses[None],
