@@ -39,7 +39,10 @@ def compute_descriptor_images_for_scene(dcn, scene, out_dir: str,
             batch = np.concatenate([batch, pad], axis=0)
         res = np.asarray(fwd(dcn.variables, jnp.asarray(batch)))
         for j, idx in enumerate(idxs):
-            np.save(os.path.join(out_dir, "%06d_descriptor.npy" % idx), res[j])
+            # name by the frame's on-disk %06d index (reference
+            # compute_descriptor_images.py:63 keys files by pose-data index)
+            np.save(os.path.join(
+                out_dir, "%06d_descriptor.npy" % scene.frame_id(idx)), res[j])
     return n
 
 

@@ -58,11 +58,12 @@ def compute_mesh_descriptors(dcn, scene, points_world, frame_indices=None):
     """
     pts = jnp.asarray(points_world, jnp.float32)
     if frame_indices is None:
-        frame_indices = range(scene.num_frames)
+        frame_indices = scene.file_indices
     D = dcn.descriptor_dimension
     acc = jnp.zeros((pts.shape[0], D))
     wsum = jnp.zeros((pts.shape[0],))
-    for i in frame_indices:
+    for idx in frame_indices:
+        i = scene.position(int(idx))  # frame_indices are %06d file ids
         res = dcn.forward_on_img(scene.rgb[i])
         s, w = _accumulate_frame(
             pts, jnp.asarray(scene.poses[i], jnp.float32),

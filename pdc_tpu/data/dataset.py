@@ -36,6 +36,15 @@ from pdc_tpu.losses.composer import (
 )
 from pdc_tpu.utils.yaml_io import load_yaml
 
+class ImageType:
+    """Reference ``dense_correspondence_dataset_masked.py:35`` image-kind
+    codes (used by ``get_image_filename``)."""
+
+    RGB = 0
+    DEPTH = 1
+    MASK = 2
+
+
 DATA_TYPE_NAMES = {
     "SINGLE_OBJECT_WITHIN_SCENE": MATCH_TYPE_SINGLE_OBJECT_WITHIN_SCENE,
     "SINGLE_OBJECT_ACROSS_SCENE": MATCH_TYPE_SINGLE_OBJECT_ACROSS_SCENE,
@@ -56,10 +65,48 @@ class SceneData:
     poses: np.ndarray  # [N, 4, 4] float64 camera-to-world
     K: np.ndarray      # [3, 3]
     object_id: Optional[str] = None
+    # on-disk %06d file indices of the loaded frames (pose_data.yaml keys
+    # need not start at 0 or be contiguous; frames with missing files are
+    # dropped at load). None => positions and file ids coincide.
+    frame_ids: Optional[np.ndarray] = None
+    # source layout (None for synthetic/in-memory scenes)
+    structure: Optional[SceneStructure] = None
 
     @property
     def num_frames(self):
         return self.rgb.shape[0]
+
+    @property
+    def file_indices(self) -> np.ndarray:
+        """The reference's image indices (pose_data.yaml keys / %06d file
+        numbers) for each loaded frame position."""
+        if self.frame_ids is None:
+            return np.arange(self.num_frames)
+        return self.frame_ids
+
+    def position(self, file_idx: int) -> int:
+        """Array position of the frame with on-disk index ``file_idx``.
+
+        Annotation YAMLs (``new_annotated_pairs.yaml`` image_idx fields) and
+        every reference-facing accessor use FILE indices; the in-memory
+        arrays are positional. Identity when the scene's indices are
+        contiguous from 0 (the common pdc layout)."""
+        if self.frame_ids is None:
+            if not 0 <= file_idx < self.num_frames:
+                raise KeyError(f"scene {self.name}: no frame {file_idx}")
+            return int(file_idx)
+        pos = int(np.searchsorted(self.frame_ids, file_idx))
+        if pos >= len(self.frame_ids) or self.frame_ids[pos] != file_idx:
+            raise KeyError(f"scene {self.name}: no frame with file index "
+                           f"{file_idx} (have {len(self.frame_ids)} frames "
+                           f"in [{self.frame_ids[0]}, {self.frame_ids[-1]}])")
+        return pos
+
+    def frame_id(self, pos: int) -> int:
+        """On-disk file index of the frame at array position ``pos``."""
+        if self.frame_ids is None:
+            return int(pos)
+        return int(self.frame_ids[pos])
 
     @staticmethod
     def from_structure(structure: SceneStructure, name: str, object_id=None):
@@ -80,9 +127,13 @@ class SceneData:
             structure, indices, intr.height, intr.width
         )
         poses = np.stack([pose_map[i] for i in indices])
+        ids = np.asarray(indices, np.int64)
+        if ids.size and ids[0] == 0 and ids[-1] == ids.size - 1:
+            ids = None  # contiguous from 0: positions == file ids
         return SceneData(
             name=name, rgb=rgb, depth=depth, mask=mask,
             poses=poses, K=intr.K, object_id=object_id,
+            frame_ids=ids, structure=structure,
         )
 
     @staticmethod
@@ -336,15 +387,20 @@ class SpartanDataset:
     # -- pair sampling -------------------------------------------------------------
 
     def get_random_image_index(self, scene_name: str) -> int:
-        return self._rng.randrange(self._scenes[scene_name].num_frames)
+        """Random frame's FILE index (reference
+        dense_correspondence_dataset_masked.py: indices are pose_data.yaml
+        keys, not array positions)."""
+        scene = self._scenes[scene_name]
+        return scene.frame_id(self._rng.randrange(scene.num_frames))
 
     def get_img_idx_with_different_pose(self, scene_name: str, pose_a, num_attempts: int = 50):
-        """Rejection-sample a frame whose pose differs by > 0.2 m or > 20 deg
+        """Rejection-sample a frame (returned as a file index) whose pose
+        differs by > 0.2 m or > 20 deg
         (reference dense_correspondence_dataset_masked.py:260-287)."""
         scene = self._scenes[scene_name]
         for _ in range(num_attempts):
             idx = self.get_random_image_index(scene_name)
-            pose_b = scene.poses[idx]
+            pose_b = scene.poses[scene.position(idx)]
             if (
                 pose_distance(pose_a, pose_b) > self.POSE_DIST_THRESHOLD
                 or np.degrees(pose_angle(pose_a, pose_b)) > self.POSE_ANGLE_THRESHOLD
@@ -418,12 +474,13 @@ class SpartanDataset:
         idx_b = self.get_random_image_index(scene_name_b)
         meta.update({"scene_name_a": scene_name_a, "scene_name_b": scene_name_b,
                      "image_a_idx": idx_a, "image_b_idx": idx_b, "type": match_type})
+        pa, pb = scene_a.position(idx_a), scene_b.position(idx_b)
         return SamplePair(
             match_type=match_type,
-            rgb_a=scene_a.rgb[idx_a], depth_a=scene_a.depth[idx_a],
-            mask_a=scene_a.mask[idx_a], pose_a=scene_a.poses[idx_a],
-            rgb_b=scene_b.rgb[idx_b], depth_b=scene_b.depth[idx_b],
-            mask_b=scene_b.mask[idx_b], pose_b=scene_b.poses[idx_b],
+            rgb_a=scene_a.rgb[pa], depth_a=scene_a.depth[pa],
+            mask_a=scene_a.mask[pa], pose_a=scene_a.poses[pa],
+            rgb_b=scene_b.rgb[pb], depth_b=scene_b.depth[pb],
+            mask_b=scene_b.mask[pb], pose_b=scene_b.poses[pb],
             K=scene_a.K,
             metadata=meta,
         )
@@ -433,29 +490,31 @@ class SpartanDataset:
         sentinel when the pose-rejection sampler fails)."""
         scene = self._scenes[scene_name]
         idx_a = self.get_random_image_index(scene_name)
-        idx_b = self.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
+        pa = scene.position(idx_a)
+        idx_b = self.get_img_idx_with_different_pose(scene_name, scene.poses[pa])
         if idx_b is None:
             # empty-data path (reference training.py:304-306): signalled by
             # match_type -1; the device assembler zeroes the loss.
-            return self._empty_pair(scene, idx_a)
+            return self._empty_pair(scene, pa)
+        pb = scene.position(idx_b)
         return SamplePair(
             match_type=match_type,
-            rgb_a=scene.rgb[idx_a], depth_a=scene.depth[idx_a],
-            mask_a=scene.mask[idx_a], pose_a=scene.poses[idx_a],
-            rgb_b=scene.rgb[idx_b], depth_b=scene.depth[idx_b],
-            mask_b=scene.mask[idx_b], pose_b=scene.poses[idx_b],
+            rgb_a=scene.rgb[pa], depth_a=scene.depth[pa],
+            mask_a=scene.mask[pa], pose_a=scene.poses[pa],
+            rgb_b=scene.rgb[pb], depth_b=scene.depth[pb],
+            mask_b=scene.mask[pb], pose_b=scene.poses[pb],
             K=scene.K,
             metadata={"scene_name": scene_name, "image_a_idx": idx_a,
                       "image_b_idx": idx_b, "type": match_type},
         )
 
-    def _empty_pair(self, scene, idx_a):
+    def _empty_pair(self, scene, pos_a):
         return SamplePair(
             match_type=-1,
-            rgb_a=scene.rgb[idx_a], depth_a=scene.depth[idx_a],
-            mask_a=scene.mask[idx_a], pose_a=scene.poses[idx_a],
-            rgb_b=scene.rgb[idx_a], depth_b=scene.depth[idx_a],
-            mask_b=scene.mask[idx_a], pose_b=scene.poses[idx_a],
+            rgb_a=scene.rgb[pos_a], depth_a=scene.depth[pos_a],
+            mask_a=scene.mask[pos_a], pose_a=scene.poses[pos_a],
+            rgb_b=scene.rgb[pos_a], depth_b=scene.depth[pos_a],
+            mask_b=scene.mask[pos_a], pose_b=scene.poses[pos_a],
             K=scene.K,
             metadata={"type": -1},
         )
@@ -498,8 +557,12 @@ class SpartanDataset:
     # -- misc parity helpers -------------------------------------------------------
 
     def get_rgbd_mask_pose(self, scene_name: str, img_idx: int):
+        """Frame lookup by the reference's image index (%06d file number /
+        pose_data.yaml key — the convention of annotation YAMLs and every
+        reference accessor), mapped to the in-memory array position."""
         s = self.get_scene(scene_name)
-        return s.rgb[img_idx], s.depth[img_idx], s.mask[img_idx], s.poses[img_idx]
+        p = s.position(img_idx)
+        return s.rgb[p], s.depth[p], s.mask[p], s.poses[p]
 
     # thin accessors kept for reference-API parity
     # (spartan_dataset_masked.py:357-389, dense_correspondence_dataset_masked.py)
@@ -516,16 +579,20 @@ class SpartanDataset:
                                 width=W, height=H)
 
     def get_pose_from_scene_name_and_idx(self, scene_name: str, img_idx: int):
-        return self.get_scene(scene_name).poses[img_idx]
+        s = self.get_scene(scene_name)
+        return s.poses[s.position(img_idx)]
 
     def get_rgb_image_from_scene_name_and_idx(self, scene_name: str, img_idx: int):
-        return self.get_scene(scene_name).rgb[img_idx]
+        s = self.get_scene(scene_name)
+        return s.rgb[s.position(img_idx)]
 
     def get_mask_image_from_scene_name_and_idx(self, scene_name: str, img_idx: int):
-        return self.get_scene(scene_name).mask[img_idx]
+        s = self.get_scene(scene_name)
+        return s.mask[s.position(img_idx)]
 
     def get_depth_image_from_scene_name_and_idx(self, scene_name: str, img_idx: int):
-        return self.get_scene(scene_name).depth[img_idx]
+        s = self.get_scene(scene_name)
+        return s.depth[s.position(img_idx)]
 
     def get_image_mean(self):
         from pdc_tpu.utils.constants import DEFAULT_IMAGE_MEAN
@@ -544,6 +611,94 @@ class SpartanDataset:
         mean = np.asarray(self.get_image_mean(), np.float32)
         std = np.asarray(self.get_image_std_dev(), np.float32)
         return (x - mean) / std
+
+    # -- reference-API convenience accessors ---------------------------------
+    # Thin delegates keeping the names a reference user reaches for in
+    # notebooks/scripts; each cites its reference definition.
+
+    def scene_generator(self, mode=None):
+        """Yield every scene name of a split — single-object scenes first,
+        then multi-object (reference spartan_dataset_masked.py:244-258)."""
+        reg = self._registry(mode or self.mode)
+        for object_id in sorted(reg["single"].keys()):
+            for scene_name in reg["single"][object_id]:
+                yield scene_name
+        for scene_name in reg["multi"]:
+            yield scene_name
+
+    def get_scene_list(self, mode=None):
+        """All scene names of a split (spartan_dataset_masked.py:260-272)."""
+        return list(self.scene_generator(mode=mode))
+
+    def get_list_of_objects(self):
+        """Object ids with single-object scenes
+        (spartan_dataset_masked.py:274-281)."""
+        return sorted(self._registry(self.mode)["single"].keys())
+
+    def get_scene_list_for_object(self, object_id: str, mode=None):
+        """Scene names for one object in a split
+        (spartan_dataset_masked.py:283-297)."""
+        return list(self._registry(mode or self.mode)["single"][object_id])
+
+    def get_full_path_for_scene(self, scene_name: str) -> str:
+        """Path to the scene's ``processed/`` folder
+        (spartan_dataset_masked.py:306-314). Only meaningful for scenes
+        loaded from disk."""
+        s = self.get_scene(scene_name)
+        if s.structure is None:
+            raise ValueError(
+                f"scene {scene_name} is in-memory (synthetic); it has no "
+                "on-disk processed folder")
+        return s.structure.processed_folder
+
+    def get_image_filename(self, scene_name: str, img_idx: int, image_type: int) -> str:
+        """Full path of one frame's RGB/depth/mask PNG
+        (dense_correspondence_dataset_masked.py:300-330 + ImageType)."""
+        s = self.get_scene(scene_name)
+        if s.structure is None:
+            raise ValueError(f"scene {scene_name} has no on-disk files")
+        if image_type == ImageType.RGB:
+            return s.structure.rgb_image_filename(img_idx)
+        if image_type == ImageType.DEPTH:
+            return s.structure.depth_image_filename(img_idx)
+        if image_type == ImageType.MASK:
+            return s.structure.mask_image_filename(img_idx)
+        raise ValueError(f"unknown image_type {image_type}")
+
+    def get_first_image_index(self, scene_name: str) -> int:
+        """Smallest on-disk frame index of a scene
+        (spartan_dataset_masked.py:1186-1192 — indices need not start at 0)."""
+        return int(self.get_scene(scene_name).file_indices[0])
+
+    def get_random_rgbd_mask_pose(self):
+        """(rgb, depth, mask, pose) of a random frame of a random scene
+        (dense_correspondence_dataset_masked.py:246-258; used by descriptor
+        statistics and the qualitative flows)."""
+        scene_name = self.get_random_scene_name()
+        idx = self.get_random_image_index(scene_name)
+        return self.get_rgbd_mask_pose(scene_name, idx)
+
+    def load_all_pose_data(self):
+        """No-op kept for API parity: poses are always preloaded at scene
+        construction (the reference hoists pose YAML loads out of DataLoader
+        workers for thread-safety, spartan_dataset_masked.py:317-342; pdc_tpu
+        has no worker processes to protect)."""
+
+    @staticmethod
+    def flatten_uv_tensor(uv_tensor, image_width: int):
+        """(u, v) -> flat ``v * W + u`` indices
+        (spartan_dataset_masked.py:1255-1264)."""
+        u, v = uv_tensor
+        return np.asarray(v) * image_width + np.asarray(u)
+
+    @staticmethod
+    def mask_image_from_uv_flat_tensor(uv_flat_tensor, image_width: int,
+                                       image_height: int):
+        """[W*H] 0/1 vector with ones at the given flat pixel indices
+        (spartan_dataset_masked.py:1266-1283)."""
+        img = np.zeros(image_width * image_height, np.int64)
+        img[np.asarray(uv_flat_tensor, np.int64)] = 1
+        return img
 
     @staticmethod
     def make_synthetic(num_scenes: int = 2, num_objects: int = 2,

@@ -538,7 +538,8 @@ class DenseCorrespondenceEvaluation:
             scene_name = dataset.get_random_scene_name()
             scene = dataset.get_scene(scene_name)
             idx_a = dataset.get_random_image_index(scene_name)
-            idx_b = dataset.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
+            idx_b = dataset.get_img_idx_with_different_pose(
+                scene_name, scene.poses[scene.position(idx_a)])
             if idx_b is None:
                 continue
             key, sub = jax.random.split(key)
@@ -1225,11 +1226,13 @@ class DenseCorrespondenceEvaluation:
             scene_name = dataset.get_random_scene_name()
             scene = dataset.get_scene(scene_name)
             idx_a = dataset.get_random_image_index(scene_name)
-            idx_b = dataset.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
+            idx_b = dataset.get_img_idx_with_different_pose(
+                scene_name, scene.poses[scene.position(idx_a)])
             if idx_b is None:
                 continue
-            gray_a = cv2.cvtColor(scene.rgb[idx_a], cv2.COLOR_RGB2GRAY)
-            gray_b = cv2.cvtColor(scene.rgb[idx_b], cv2.COLOR_RGB2GRAY)
+            pos_a, pos_b = scene.position(idx_a), scene.position(idx_b)
+            gray_a = cv2.cvtColor(scene.rgb[pos_a], cv2.COLOR_RGB2GRAY)
+            gray_b = cv2.cvtColor(scene.rgb[pos_b], cv2.COLOR_RGB2GRAY)
             kp_a, des_a = sift.detectAndCompute(gray_a, None)
             kp_b, des_b = sift.detectAndCompute(gray_b, None)
             if des_a is None or des_b is None:
@@ -1239,17 +1242,17 @@ class DenseCorrespondenceEvaluation:
             for m in good:
                 ua, va = map(int, np.round(kp_a[m.queryIdx].pt))
                 ub, vb = map(int, np.round(kp_b[m.trainIdx].pt))
-                za = scene.depth[idx_a][va, ua] / DEPTH_IM_SCALE
-                zb = scene.depth[idx_b][vb, ub] / DEPTH_IM_SCALE
+                za = scene.depth[pos_a][va, ua] / DEPTH_IM_SCALE
+                zb = scene.depth[pos_b][vb, ub] / DEPTH_IM_SCALE
                 valid = za > 0 and zb > 0
                 err = np.nan
                 if valid:
                     pa = transform_points(
-                        jnp.asarray(scene.poses[idx_a], jnp.float32),
+                        jnp.asarray(scene.poses[pos_a], jnp.float32),
                         unproject_to_camera(np.array([ua, va], np.float32), np.float32(za), scene.K),
                     )
                     pb = transform_points(
-                        jnp.asarray(scene.poses[idx_b], jnp.float32),
+                        jnp.asarray(scene.poses[pos_b], jnp.float32),
                         unproject_to_camera(np.array([ub, vb], np.float32), np.float32(zb), scene.K),
                     )
                     err = float(np.linalg.norm(np.asarray(pa) - np.asarray(pb)))

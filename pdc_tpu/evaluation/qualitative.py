@@ -260,7 +260,8 @@ def get_random_scenes_and_image_pairs(dataset, num_pairs: int = 5):
         scene_name = dataset.get_random_scene_name()
         scene = dataset.get_scene(scene_name)
         idx_a = dataset.get_random_image_index(scene_name)
-        idx_b = dataset.get_img_idx_with_different_pose(scene_name, scene.poses[idx_a])
+        idx_b = dataset.get_img_idx_with_different_pose(
+            scene_name, scene.poses[scene.position(idx_a)])
         if idx_b is None:
             continue
         scene_names.append(scene_name)

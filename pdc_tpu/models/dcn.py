@@ -53,7 +53,9 @@ def build_backbone(config: dict, dtype=None):
     (reference ``get_fcn``/``get_unet``, dense_correspondence_network.py:347-383).
 
     TPU extras beyond the reference surface: ``compute_dtype``
-    ('float32' | 'bfloat16') and ``remat`` (bool) config keys.
+    ('float32' | 'bfloat16'), ``remat`` (bool), ``dilated_s2b`` (bool) and
+    ``quant_int8`` (bool — int8 PTQ serving convs, inference only) config
+    keys.
     """
     backbone = config.get("backbone", {"model_class": "Resnet", "resnet_name": "Resnet34_8s"})
     d = config["descriptor_dimension"]
@@ -72,9 +74,13 @@ def build_backbone(config: dict, dtype=None):
         }
         if name not in factories:
             raise ValueError(f"unsupported resnet_name: {name}")
-        return factories[name](d, dtype=dtype, remat=remat,
-                               dilated_s2b=bool(config.get("dilated_s2b",
-                                                           False)))
+        fcn = factories[name](d, dtype=dtype, remat=remat,
+                              dilated_s2b=bool(config.get("dilated_s2b",
+                                                          False)))
+        if config.get("quant_int8", False):
+            import dataclasses as _dc
+            fcn = _dc.replace(fcn, quant_int8=True)
+        return fcn
     if backbone["model_class"] == "Unet":
         return UNet(num_classes=d, dtype=dtype)
     raise ValueError(f"unknown backbone model_class: {backbone['model_class']}")
@@ -329,6 +335,28 @@ class DenseCorrespondenceNetwork:
         )
         dcn.model_folder = model_folder
         return dcn
+
+    def quantized(self) -> "DenseCorrespondenceNetwork":
+        """A serving clone whose convolutions run the int8 PTQ path
+        (models/resnet.py ``Int8Conv``; ~1.36x the bf16 forward on v5e —
+        see BENCHMARKS.md). Shares this network's weights; inference only."""
+        import dataclasses as _dc
+
+        if not hasattr(self.module, "quant_int8"):
+            raise ValueError(
+                f"{type(self.module).__name__} has no int8 serving path")
+        clone = DenseCorrespondenceNetwork(
+            _dc.replace(self.module, quant_int8=True), self.variables,
+            self._descriptor_dimension, self._image_width, self._image_height,
+            normalize=self._normalize,
+            config={**self.config, "quant_int8": True},
+        )
+        clone.image_mean = self.image_mean
+        clone.image_std_dev = self.image_std_dev
+        clone.model_folder = self.model_folder
+        if self._descriptor_image_stats is not None:
+            clone._descriptor_image_stats = self._descriptor_image_stats
+        return clone
 
     @staticmethod
     def from_reference_model_folder(model_folder: str,

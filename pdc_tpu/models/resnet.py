@@ -22,6 +22,67 @@ from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+from jax import lax
+
+
+class Int8Conv(nn.Conv):
+    """``nn.Conv`` with an optional dynamically-quantized int8 path.
+
+    With ``quant_int8=False`` (the default, and always during training) this
+    IS ``nn.Conv`` — same parameter names/shapes, so checkpoints are
+    interchangeable. With ``quant_int8=True`` the convolution runs s8 x s8 ->
+    s32 on the MXU's 2x int8 path (v5e: ~394 int8 TOPS vs ~197 bf16 TFLOPS):
+
+      * activations: per-tensor symmetric scale, computed dynamically from
+        the batch max (no calibration pass needed; the abs-max reduction is
+        one cheap pass over VMEM-resident tiles)
+      * weights: per-output-channel symmetric scales (standard PTQ — keeps
+        channel-to-channel magnitude spread out of the quantization error)
+      * dequant + bias + everything downstream (BN, ReLU, residual adds)
+        stay in the float compute dtype
+
+    Quantization error is bounded by the 127-level grids; accuracy is
+    validated in tests/test_quantized.py (descriptor cosine similarity and
+    best-match agreement vs the float path).
+    """
+
+    quant_int8: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        if not self.quant_int8:
+            return super().__call__(x)
+        assert self.feature_group_count == 1, "int8 path: no grouped convs"
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (kh, kw, x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+
+        xf = x.astype(jnp.float32)
+        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        kf = kernel.astype(jnp.float32)
+        s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0
+        wq = jnp.clip(jnp.round(kf / s_w), -127, 127).astype(jnp.int8)
+
+        def _pair(v):
+            if v is None:
+                return (1, 1)
+            return (v, v) if isinstance(v, int) else tuple(v)
+
+        strides = _pair(self.strides)
+        dilation = _pair(self.kernel_dilation)
+        dn = lax.conv_dimension_numbers(x.shape, wq.shape,
+                                        ("NHWC", "HWIO", "NHWC"))
+        y = lax.conv_general_dilated(
+            xq, wq, strides, self.padding, rhs_dilation=dilation,
+            dimension_numbers=dn, preferred_element_type=jnp.int32)
+        out = y.astype(jnp.float32) * (s_x * s_w)
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)
+        return out.astype(self.dtype or x.dtype)
 
 
 class BasicBlock(nn.Module):
@@ -31,34 +92,38 @@ class BasicBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         needs_proj = (x.shape[-1] != self.features) or self.stride != 1
         residual = x
 
-        y = nn.Conv(
+        y = Int8Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv1",
+            quant_int8=self.quant_int8,
         )(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        y = Int8Conv(
             self.features, (3, 3), strides=(1, 1),
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv2",
+            quant_int8=self.quant_int8,
         )(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn2")(y)
 
         if needs_proj:
-            residual = nn.Conv(
+            residual = Int8Conv(
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="proj_conv",
+                quant_int8=self.quant_int8,
             )(residual)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     dtype=self.dtype, name="proj_bn")(residual)
@@ -75,6 +140,7 @@ class BottleneckBlock(nn.Module):
     stride: int = 1
     dilation: int = 1
     dtype: Any = jnp.float32
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -82,29 +148,31 @@ class BottleneckBlock(nn.Module):
         needs_proj = (x.shape[-1] != out_features) or self.stride != 1
         residual = x
 
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv1")(x)
+        y = Int8Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="conv1", quant_int8=self.quant_int8)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
-        y = nn.Conv(
+        y = Int8Conv(
             self.features, (3, 3), strides=(self.stride, self.stride),
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv2",
+            quant_int8=self.quant_int8,
         )(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
-                    name="conv3")(y)
+        y = Int8Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
+                     name="conv3", quant_int8=self.quant_int8)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn3")(y)
 
         if needs_proj:
-            residual = nn.Conv(
+            residual = Int8Conv(
                 out_features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="proj_conv",
+                quant_int8=self.quant_int8,
             )(residual)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     dtype=self.dtype, name="proj_bn")(residual)
@@ -157,15 +225,20 @@ class ResNetFCN(nn.Module):
     remat: bool = False
     bottleneck: bool = False  # BottleneckBlock (ResNet-50/101) vs BasicBlock
     dilated_s2b: bool = False
+    # int8 PTQ serving path (inference only — round() has zero gradient, so
+    # train=True always runs the float convs)
+    quant_int8: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         in_h, in_w = x.shape[1], x.shape[2]
         batch = x.shape[0]
         x = x.astype(self.dtype)
+        quant = self.quant_int8 and not train
 
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        x = Int8Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                     use_bias=False, dtype=self.dtype, name="stem_conv",
+                     quant_int8=quant)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
@@ -205,12 +278,14 @@ class ResNetFCN(nn.Module):
                     stride=stage_strides[stage] if block == 0 else 1,
                     dilation=stage_dilations[stage],
                     dtype=self.dtype,
+                    quant_int8=quant,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
 
         # 1x1 descriptor head (the reference's ``score_32s``-style head
         # collapsed to the single stride-8 head Resnet34_8s actually uses)
-        x = nn.Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head")(x)
+        x = Int8Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head",
+                     quant_int8=quant)(x)
 
         if use_s2b:
             # undo the cascade (inner split first)

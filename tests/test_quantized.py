@@ -1,0 +1,105 @@
+"""int8 PTQ serving path: checkpoint compatibility, accuracy, train-mode
+gradient safety (pdc_tpu/models/resnet.py Int8Conv)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pdc_tpu.models.resnet import ResNet18_8s, ResNetFCN
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    m = ResNetFCN(num_classes=3, stage_sizes=(1, 1, 1, 1))
+    x = jnp.asarray(np.random.RandomState(0).randn(1, 32, 48, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    return m, v, x
+
+
+def test_param_tree_identical(tiny):
+    m, v, x = tiny
+    mq = dataclasses.replace(m, quant_int8=True)
+    vq = mq.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vq)
+    for a, b in zip(jax.tree_util.tree_leaves(v), jax.tree_util.tree_leaves(vq)):
+        assert a.shape == b.shape and a.dtype == b.dtype
+
+
+def test_quantized_close_to_float(tiny):
+    m, v, x = tiny
+    mq = dataclasses.replace(m, quant_int8=True)
+    yf = m.apply(v, x, train=False)
+    yq = mq.apply(v, x, train=False)
+    cos = float((yf * yq).sum()
+                / (jnp.linalg.norm(yf) * jnp.linalg.norm(yq) + 1e-12))
+    assert cos > 0.995, cos
+
+
+def test_quantized_resnet18_best_match_agreement():
+    """Descriptor argmin (the eval/serving hot query) must agree between the
+    float and int8 paths for the overwhelming majority of query pixels."""
+    m = ResNet18_8s(3)
+    mq = dataclasses.replace(m, quant_int8=True)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.rand(2, 64, 48, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(1), x, train=False)
+    ra, rb = m.apply(v, x, train=False)
+    qa, qb = mq.apply(v, x, train=False)
+
+    ra, rb, qa, qb = (np.asarray(t, np.float32) for t in (ra, rb, qa, qb))
+
+    def dists(res_a, res_b, uv):
+        d = res_b.reshape(-1, 3) - res_a[uv[1], uv[0]]
+        return (d * d).sum(-1)
+
+    # a random-init network produces near-uniform descriptor images, so the
+    # exact argmin is a near-tie lottery; the property that matters for
+    # serving is that the int8 pick is (a) usually identical and (b) always
+    # a near-tie under the FLOAT distance field.
+    exact, spread = 0, np.ptp(rb.reshape(-1, 3), axis=0).max()
+    queries = [(rng.randint(48), rng.randint(64)) for _ in range(50)]
+    for u, v_ in queries:
+        df = dists(ra, rb, (u, v_))
+        dq = dists(qa, qb, (u, v_))
+        bf_, bq_ = int(df.argmin()), int(dq.argmin())
+        exact += bf_ == bq_
+        # < 0.5% of the squared-distance range counts as a tie at random init
+        assert df[bq_] - df[bf_] <= 5e-3 * spread ** 2, (
+            f"int8 best match is not a near-tie: {df[bq_]} vs {df[bf_]}")
+    assert exact >= 15, f"only {exact}/50 exact argmin agreements"
+    # trained-model PCK parity is measured on TPU
+    # (examples/quantized_serving_eval.py; BENCHMARKS.md int8 section)
+
+
+def test_train_mode_keeps_float_path_and_gradients(tiny):
+    m, v, x = tiny
+    mq = dataclasses.replace(m, quant_int8=True)
+
+    def loss(params):
+        y, _ = mq.apply({"params": params, "batch_stats": v["batch_stats"]},
+                        x, train=True, mutable=["batch_stats"])
+        return (y.astype(jnp.float32) ** 2).mean()
+
+    g = jax.grad(loss)(v["params"])
+    gnorm = sum(float(jnp.abs(leaf).sum()) for leaf in jax.tree_util.tree_leaves(g))
+    assert np.isfinite(gnorm) and gnorm > 0  # round() would zero these
+
+    # and train output equals the unquantized train output exactly
+    y1, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    y2, _ = mq.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+
+
+def test_build_backbone_flag():
+    from pdc_tpu.models.dcn import build_backbone
+
+    cfg = {"descriptor_dimension": 3,
+           "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+           "quant_int8": True}
+    fcn = build_backbone(cfg)
+    assert fcn.quant_int8 is True
+    cfg.pop("quant_int8")
+    assert build_backbone(cfg).quant_int8 is False
