@@ -70,12 +70,19 @@ def load_exported(path: str):
 
 def export_model_folder(model_folder: str, output: str, batch_size: int = 1,
                         platforms: Optional[Sequence[str]] = None,
-                        iteration: Optional[int] = None) -> int:
-    """Export a trained model folder's latest checkpoint; returns bytes."""
+                        iteration: Optional[int] = None,
+                        quantize: bool = False) -> int:
+    """Export a trained model folder's latest checkpoint; returns bytes.
+
+    ``quantize=True`` freezes the int8 PTQ serving program instead
+    (``DCN.quantized()`` — s8 x s8 MXU convs, ~1.36x the bf16 forward on
+    v5e with PCK parity; see BENCHMARKS.md)."""
     from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
 
     dcn = DenseCorrespondenceNetwork.from_model_folder(model_folder,
                                                        iteration=iteration)
+    if quantize:
+        dcn = dcn.quantized()
     exported = export_inference(dcn, batch_size=batch_size,
                                 platforms=platforms)
     return save_exported(exported, output)
@@ -89,10 +96,12 @@ if __name__ == "__main__":  # pragma: no cover
     p.add_argument("--platform", default=None,
                    help="lowering target (e.g. tpu); default = this host")
     p.add_argument("--iteration", type=int, default=None)
+    p.add_argument("--int8", action="store_true",
+                   help="freeze the int8 PTQ serving program (DCN.quantized)")
     args = p.parse_args()
 
     n = export_model_folder(
         args.model_folder, args.output, batch_size=args.batch_size,
         platforms=[args.platform] if args.platform else None,
-        iteration=args.iteration)
+        iteration=args.iteration, quantize=args.int8)
     print(f"wrote {args.output} ({n / 1e6:.1f} MB)")

@@ -69,3 +69,26 @@ def test_export_model_folder(dcn, tmp_path):
     art = load_exported(out)
     res = np.asarray(art.call(np.zeros((1, H, W, 3), np.uint8)))
     assert res.shape == (1, H, W, D) and np.isfinite(res).all()
+
+
+def test_export_int8_serving_program(dcn, tmp_path):
+    """The int8 PTQ serving program (DCN.quantized) exports, round-trips,
+    and stays descriptor-space-close to the float artifact."""
+    import jax.numpy as jnp
+
+    from pdc_tpu.apps.export_serving import (
+        export_inference, load_exported, save_exported)
+
+    exported = export_inference(dcn.quantized(), batch_size=1)
+    rng = np.random.RandomState(1)
+    rgb = rng.randint(0, 255, (1, H, W, 3), dtype=np.uint8)
+
+    path = str(tmp_path / "net_int8.stablehlo")
+    save_exported(exported, path)
+    out_q = np.asarray(load_exported(path).call(jnp.asarray(rgb)))
+    assert out_q.shape == (1, H, W, D) and np.isfinite(out_q).all()
+
+    out_f = np.asarray(dcn.forward_on_img(rgb[0]))[None]
+    cos = float((out_q * out_f).sum() /
+                (np.linalg.norm(out_q) * np.linalg.norm(out_f) + 1e-9))
+    assert cos > 0.99

@@ -37,14 +37,19 @@ def main():
     std = jnp.asarray([0.229, 0.224, 0.225])
     results = {}
 
-    for B in (1, 4, 8):
+    import dataclasses
+
+    for quant in (False, True):
+      net = dataclasses.replace(model, quant_int8=quant) if quant else model
+      tag = "int8_" if quant else ""
+      for B in (1, 4, 8):
         K = 20
 
         @jax.jit
         def stream(variables, frames, queries):
             def body(c, _):
                 x = (frames.astype(jnp.float32) / 255.0 - mean) / std + c
-                res = model.apply(variables, x, train=False)
+                res = net.apply(variables, x, train=False)
                 HW = H * W
                 flat = res.reshape(B, HW, D).astype(jnp.float32)
                 rnorm = jnp.sum(jnp.square(flat), axis=-1)  # [B, HW]
@@ -61,7 +66,7 @@ def main():
             np.random.randint(0, 255, (B, H, W, 3), np.uint8))
         t0 = time.perf_counter()
         float(stream(variables, frames, queries))
-        print(f"B={B} compile+first: {time.perf_counter()-t0:.1f}s",
+        print(f"{tag}B={B} compile+first: {time.perf_counter()-t0:.1f}s",
               file=sys.stderr, flush=True)
         times = []
         for _ in range(3):
@@ -69,9 +74,9 @@ def main():
             float(stream(variables, frames, queries))
             times.append(time.perf_counter() - t0)
         ms = min(times) / K * 1e3
-        results[f"grasp_stream_b{B}_ms_per_frame_batch"] = round(ms, 2)
-        results[f"grasp_stream_b{B}_fps"] = round(B * K / min(times), 1)
-        print(f"B={B}: {ms:.2f} ms/call, {B*K/min(times):.1f} frames/s",
+        results[f"grasp_stream_{tag}b{B}_ms_per_frame_batch"] = round(ms, 2)
+        results[f"grasp_stream_{tag}b{B}_fps"] = round(B * K / min(times), 1)
+        print(f"{tag}B={B}: {ms:.2f} ms/call, {B*K/min(times):.1f} frames/s",
               file=sys.stderr, flush=True)
 
     print(json.dumps(results, indent=1))
