@@ -82,7 +82,8 @@ def build_backbone(config: dict, dtype=None):
             fcn = _dc.replace(fcn, quant_int8=True)
         return fcn
     if backbone["model_class"] == "Unet":
-        return UNet(num_classes=d, dtype=dtype)
+        return UNet(num_classes=d, dtype=dtype,
+                    quant_int8=bool(config.get("quant_int8", False)))
     raise ValueError(f"unknown backbone model_class: {backbone['model_class']}")
 
 

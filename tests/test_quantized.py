@@ -103,3 +103,42 @@ def test_build_backbone_flag():
     assert fcn.quant_int8 is True
     cfg.pop("quant_int8")
     assert build_backbone(cfg).quant_int8 is False
+
+
+def test_quantized_unet():
+    """The UNet backbone shares the Int8Conv serving path: identical param
+    trees, close descriptors, float train mode."""
+    from pdc_tpu.models.unet import UNet
+
+    m = UNet(num_classes=3, base_features=8)
+    x = jnp.asarray(np.random.RandomState(1).randn(1, 32, 48, 3), jnp.float32)
+    v = m.init(jax.random.PRNGKey(0), x, train=False)
+    mq = dataclasses.replace(m, quant_int8=True)
+    vq = mq.init(jax.random.PRNGKey(0), x, train=False)
+    assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(vq)
+
+    yf = m.apply(v, x, train=False)
+    yq = mq.apply(v, x, train=False)
+    cos = float((yf * yq).sum()
+                / (jnp.linalg.norm(yf) * jnp.linalg.norm(yq) + 1e-12))
+    assert cos > 0.99, cos
+
+    # train mode always runs the float convs (round() has zero gradient)
+    yt, _ = mq.apply(v, x, train=True, mutable=["batch_stats"])
+    yt_f, _ = m.apply(v, x, train=True, mutable=["batch_stats"])
+    np.testing.assert_allclose(np.asarray(yt), np.asarray(yt_f), rtol=0, atol=0)
+
+
+def test_dcn_quantized_unet():
+    from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+
+    dcn = DenseCorrespondenceNetwork.from_config({
+        "backbone": {"model_class": "Unet"},
+        "descriptor_dimension": 3, "image_width": 48, "image_height": 32})
+    q = dcn.quantized()
+    rgb = np.random.RandomState(2).randint(0, 255, (32, 48, 3), np.uint8)
+    rf = np.asarray(dcn.forward_on_img(rgb))
+    rq = np.asarray(q.forward_on_img(rgb))
+    cos = float((rf * rq).sum()
+                / (np.linalg.norm(rf) * np.linalg.norm(rq) + 1e-9))
+    assert cos > 0.99, cos
