@@ -74,11 +74,14 @@ class HeatmapEngine:
 class HeatmapVisualization:
     """cv2 UI wrapper (reference HeatmapVisualization)."""
 
-    def __init__(self, dataset, model_folders: List[str], variance: float = 0.03):
+    def __init__(self, dataset, model_folders: List[str], variance: float = 0.03,
+                 quantize: bool = False):
         from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
 
         self._dataset = dataset
         self._dcns = [DenseCorrespondenceNetwork.from_model_folder(f) for f in model_folders]
+        if quantize:  # int8 PTQ serving forwards (DCN.quantized)
+            self._dcns = [d.quantized() for d in self._dcns]
         self._engine = HeatmapEngine(self._dcns, variance)
         self._rgb_a = self._rgb_b = None
 
@@ -86,12 +89,14 @@ class HeatmapVisualization:
     def from_config(dataset, config: dict, networks_root: str = "trained_models"):
         """Build from a heatmap_vis config (configs/heatmap_vis.yaml, same
         schema as the reference's heatmap.yaml: 'networks' name list +
-        'kernel_variance')."""
+        'kernel_variance'; pdc_tpu extra: 'quantize_int8' serves the int8
+        PTQ forward)."""
         import os
 
         folders = [os.path.join(networks_root, n) for n in config["networks"]]
         return HeatmapVisualization(
-            dataset, folders, variance=float(config.get("kernel_variance", 0.25))
+            dataset, folders, variance=float(config.get("kernel_variance", 0.25)),
+            quantize=bool(config.get("quantize_int8", False)),
         )
 
     def _get_new_images(self):
