@@ -5,11 +5,14 @@ chip). Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 The headline value is the serving configuration: int8 PTQ convolutions
-(models/resnet.py ``Int8Conv`` — s8 x s8 -> s32 on the MXU's 2x int8 path;
-accuracy-neutral on the trained full-schedule model, PCK parity artifacts
-committed under trained_models/quantized_serving/). The bf16 path is
-measured too and reported in the ``bf16_images_per_sec`` field (and
-stderr) — it is the number to compare against rounds 1-2.
+with STATIC calibrated activation scales (models/resnet.py ``Int8Conv`` —
+s8 x s8 -> s32 on the MXU's 2x int8 path; the calibrated scales remove the
+per-layer abs-max pass). Accuracy-neutral on the trained full-schedule
+model — PCK parity artifacts committed under
+trained_models/quantized_serving/ (static PCK@5 0.4054 vs bf16 0.3996).
+The bf16 path is measured too and reported in the
+``bf16_images_per_sec`` field (and stderr) — it is the number to compare
+against rounds 1-2.
 
 Timing notes:
   * the forward is fused with a scalar reduction and synchronized by fetching
@@ -90,16 +93,23 @@ def main():
         return B * K / min(times)
 
     bf16_ips = measure(model)
-    # serving path: int8 PTQ convs (accuracy-neutral, see module docstring).
-    # Only the headline on TPU — the CPU backend has no int8 MXU path.
-    int8_ips = (measure(dataclasses.replace(model, quant_int8=True))
-                if on_tpu else None)
+    # serving path: int8 PTQ convs with static calibrated activation scales
+    # (accuracy-neutral, see module docstring). Only the headline on TPU —
+    # the CPU backend has no int8 MXU path.
+    int8_ips = None
+    if on_tpu:
+        mq = dataclasses.replace(model, quant_int8=True, quant_static=True)
+        # calibration: one mutable pass populates the quant_scales collection
+        _, mutated = mq.apply({**variables, "quant_scales": {}}, imgs[:8],
+                              train=False, mutable=["quant_scales"])
+        variables = {**variables, "quant_scales": mutated["quant_scales"]}
+        int8_ips = measure(mq)
     images_per_sec = int8_ips if int8_ips else bf16_ips
 
     if on_tpu:
         mfu = bf16_ips * 200.2e9 / 197e12  # fwd GFLOPs / v5e bf16 peak
         print(f"bf16: {bf16_ips:.0f} img/s (MFU {mfu:.1%}); "
-              f"int8 PTQ serving: {int8_ips:.0f} img/s", file=sys.stderr)
+              f"int8 static-PTQ serving: {int8_ips:.0f} img/s", file=sys.stderr)
     result = {
         "metric": "descriptor_inference_images_per_sec_per_chip_640x480",
         "value": round(images_per_sec, 2),
@@ -108,7 +118,7 @@ def main():
     }
     if int8_ips:
         result["bf16_images_per_sec"] = round(bf16_ips, 2)
-        result["note"] = "value = int8 PTQ serving path (accuracy-neutral; trained_models/quantized_serving/)"
+        result["note"] = "value = int8 static-PTQ serving path (accuracy-neutral; trained_models/quantized_serving/)"
     print(json.dumps(result))
 
 

@@ -54,8 +54,15 @@ def main():
     dcn = DCN.from_model_folder(MODEL, dtype=jnp.bfloat16)
     dataset = dcn.load_training_dataset("test")
 
+    # static-scale calibration on TRAIN-split frames (never the eval split)
+    train_ds = dcn.load_training_dataset("train")
+    train_ds.reset_seed(7)
+    calib = [train_ds.get_random_rgbd_mask_pose()[0] for _ in range(16)]
+    dcn_static = dcn.calibrate_quantization(calib, batch_size=8)
+
     results = {}
-    for label, net in (("bf16", dcn), ("int8", dcn.quantized())):
+    for label, net in (("bf16", dcn), ("int8", dcn.quantized()),
+                       ("int8_static", dcn_static)):
         df = DCE.evaluate_network_quantitative(
             net, dataset, num_image_pairs=num_pairs,
             num_matches_per_image_pair=100, seed=1)

@@ -71,17 +71,26 @@ def load_exported(path: str):
 def export_model_folder(model_folder: str, output: str, batch_size: int = 1,
                         platforms: Optional[Sequence[str]] = None,
                         iteration: Optional[int] = None,
-                        quantize: bool = False) -> int:
+                        quantize=False, calibration_frames: int = 16) -> int:
     """Export a trained model folder's latest checkpoint; returns bytes.
 
     ``quantize=True`` freezes the int8 PTQ serving program instead
     (``DCN.quantized()`` — s8 x s8 MXU convs, ~1.36x the bf16 forward on
-    v5e with PCK parity; see BENCHMARKS.md)."""
+    v5e with PCK parity); ``quantize="static"`` additionally calibrates
+    static activation scales on ``calibration_frames`` train-split frames
+    of the folder's dataset snapshot (~1.70x; see BENCHMARKS.md) and bakes
+    them into the artifact."""
     from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
 
     dcn = DenseCorrespondenceNetwork.from_model_folder(model_folder,
                                                        iteration=iteration)
-    if quantize:
+    if quantize == "static":
+        dataset = dcn.load_training_dataset("train")
+        dataset.reset_seed(7)
+        calib = [dataset.get_random_rgbd_mask_pose()[0]
+                 for _ in range(calibration_frames)]
+        dcn = dcn.calibrate_quantization(calib)
+    elif quantize:
         dcn = dcn.quantized()
     exported = export_inference(dcn, batch_size=batch_size,
                                 platforms=platforms)
@@ -98,10 +107,14 @@ if __name__ == "__main__":  # pragma: no cover
     p.add_argument("--iteration", type=int, default=None)
     p.add_argument("--int8", action="store_true",
                    help="freeze the int8 PTQ serving program (DCN.quantized)")
+    p.add_argument("--int8_static", action="store_true",
+                   help="int8 with static scales calibrated on the folder's "
+                        "train dataset (fastest serving path)")
     args = p.parse_args()
 
     n = export_model_folder(
         args.model_folder, args.output, batch_size=args.batch_size,
         platforms=[args.platform] if args.platform else None,
-        iteration=args.iteration, quantize=args.int8)
+        iteration=args.iteration,
+        quantize="static" if args.int8_static else args.int8)
     print(f"wrote {args.output} ({n / 1e6:.1f} MB)")

@@ -337,17 +337,30 @@ class DenseCorrespondenceNetwork:
         dcn.model_folder = model_folder
         return dcn
 
-    def quantized(self) -> "DenseCorrespondenceNetwork":
+    def quantized(self, static: bool = False,
+                  variables=None) -> "DenseCorrespondenceNetwork":
         """A serving clone whose convolutions run the int8 PTQ path
-        (models/resnet.py ``Int8Conv``; ~1.36x the bf16 forward on v5e —
-        see BENCHMARKS.md). Shares this network's weights; inference only."""
+        (models/resnet.py ``Int8Conv``; ~1.36x the bf16 forward on v5e,
+        ~1.70x with ``static=True`` — see BENCHMARKS.md). Shares this
+        network's weights; inference only.
+
+        ``static=True`` uses calibrated per-layer activation scales instead
+        of per-call abs-max; the variables must then carry a
+        ``quant_scales`` collection — call :meth:`calibrate_quantization`
+        to produce the clone directly."""
         import dataclasses as _dc
 
         if not hasattr(self.module, "quant_int8"):
             raise ValueError(
                 f"{type(self.module).__name__} has no int8 serving path")
+        variables = self.variables if variables is None else variables
+        if static and "quant_scales" not in variables:
+            raise ValueError(
+                "static int8 serving needs calibrated scales — use "
+                "dcn.calibrate_quantization(images)")
         clone = DenseCorrespondenceNetwork(
-            _dc.replace(self.module, quant_int8=True), self.variables,
+            _dc.replace(self.module, quant_int8=True, quant_static=static),
+            variables,
             self._descriptor_dimension, self._image_width, self._image_height,
             normalize=self._normalize,
             config={**self.config, "quant_int8": True},
@@ -358,6 +371,59 @@ class DenseCorrespondenceNetwork:
         if self._descriptor_image_stats is not None:
             clone._descriptor_image_stats = self._descriptor_image_stats
         return clone
+
+    def calibrate_quantization(self, images, batch_size: int = 8,
+                               headroom: float = 1.0) -> "DenseCorrespondenceNetwork":
+        """Calibrate static int8 activation scales and return the serving
+        clone (``quantized(static=True)``).
+
+        Runs the int8 forward over ``images`` (an iterable of [H, W, 3]
+        uint8 RGB arrays — e.g. training frames) with the ``quant_scales``
+        collection mutable; each ``Int8Conv`` max-accumulates its observed
+        per-tensor abs-max across all batches. The per-call abs-max pass
+        this removes costs ~20% of the int8 forward
+        (tools/tpu_probe_int8_static.py). ``headroom`` scales the final
+        scales up (>1.0 leaves margin for activations outside the
+        calibration distribution; outliers beyond it saturate at +-127,
+        which the hinge-style descriptor losses tolerate)."""
+        import dataclasses as _dc
+
+        if not hasattr(self.module, "quant_static"):
+            raise ValueError(
+                f"{type(self.module).__name__} has no static int8 path")
+        module = _dc.replace(self.module, quant_int8=True, quant_static=True)
+        mean = jnp.asarray(self.image_mean, jnp.float32)
+        std = jnp.asarray(self.image_std_dev, jnp.float32)
+
+        @jax.jit
+        def observe(variables, rgb_u8):
+            x = (rgb_u8.astype(jnp.float32) / 255.0 - mean) / std
+            _, mutated = module.apply(variables, x, train=False,
+                                      mutable=["quant_scales"])
+            return mutated["quant_scales"]
+
+        batch = []
+        variables = dict(self.variables)
+        variables.setdefault("quant_scales", {})
+
+        def flush():
+            nonlocal variables
+            if not batch:
+                return
+            rgb = jnp.asarray(np.stack(batch), jnp.uint8)
+            scales = observe(variables, rgb)
+            variables = {**variables, "quant_scales": scales}
+            batch.clear()
+
+        for img in images:
+            batch.append(np.asarray(img, np.uint8))
+            if len(batch) == batch_size:
+                flush()
+        flush()
+        if headroom != 1.0:
+            variables["quant_scales"] = jax.tree_util.tree_map(
+                lambda s: s * headroom, variables["quant_scales"])
+        return self.quantized(static=True, variables=variables)
 
     @staticmethod
     def from_reference_model_folder(model_folder: str,

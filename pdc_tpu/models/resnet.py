@@ -44,9 +44,20 @@ class Int8Conv(nn.Conv):
     Quantization error is bounded by the 127-level grids; accuracy is
     validated in tests/test_quantized.py (descriptor cosine similarity and
     best-match agreement vs the float path).
+
+    ``quant_static=True`` additionally replaces the per-call abs-max with a
+    CALIBRATED per-layer activation scale stored in the ``quant_scales``
+    variable collection: the abs-max reduction is a full extra HBM pass per
+    layer that cannot fuse into the conv's producer (two-phase: reduce,
+    then quantize) and costs ~20% of the int8 forward (1126 -> 1405 img/s
+    measured at the headline shape, tools/tpu_probe_int8_static.py). Scales
+    are populated by running forwards with ``mutable=["quant_scales"]``
+    (max-accumulated across calibration batches;
+    ``DCN.calibrate_quantization`` drives this).
     """
 
     quant_int8: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -61,7 +72,15 @@ class Int8Conv(nn.Conv):
                            self.param_dtype) if self.use_bias else None)
 
         xf = x.astype(jnp.float32)
-        s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
+        if self.quant_static:
+            s_var = self.variable("quant_scales", "act_scale",
+                                  lambda: jnp.float32(0.0))
+            if self.is_mutable_collection("quant_scales"):
+                obs = jnp.max(jnp.abs(xf)) / 127.0  # calibration pass
+                s_var.value = jnp.maximum(s_var.value, obs)
+            s_x = jnp.maximum(s_var.value, 1e-8)
+        else:
+            s_x = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-8) / 127.0
         xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
         kf = kernel.astype(jnp.float32)
         s_w = jnp.maximum(jnp.max(jnp.abs(kf), axis=(0, 1, 2)), 1e-8) / 127.0
@@ -93,6 +112,7 @@ class BasicBlock(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.float32
     quant_int8: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -104,7 +124,7 @@ class BasicBlock(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv1",
-            quant_int8=self.quant_int8,
+            quant_int8=self.quant_int8, quant_static=self.quant_static,
         )(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn1")(y)
@@ -114,7 +134,7 @@ class BasicBlock(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv2",
-            quant_int8=self.quant_int8,
+            quant_int8=self.quant_int8, quant_static=self.quant_static,
         )(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn2")(y)
@@ -123,7 +143,7 @@ class BasicBlock(nn.Module):
             residual = Int8Conv(
                 self.features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="proj_conv",
-                quant_int8=self.quant_int8,
+                quant_int8=self.quant_int8, quant_static=self.quant_static,
             )(residual)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     dtype=self.dtype, name="proj_bn")(residual)
@@ -141,6 +161,7 @@ class BottleneckBlock(nn.Module):
     dilation: int = 1
     dtype: Any = jnp.float32
     quant_int8: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -149,7 +170,7 @@ class BottleneckBlock(nn.Module):
         residual = x
 
         y = Int8Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
-                     name="conv1", quant_int8=self.quant_int8)(x)
+                     name="conv1", quant_int8=self.quant_int8, quant_static=self.quant_static)(x)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn1")(y)
         y = nn.relu(y)
@@ -158,13 +179,13 @@ class BottleneckBlock(nn.Module):
             kernel_dilation=(self.dilation, self.dilation),
             padding=[(self.dilation, self.dilation)] * 2,
             use_bias=False, dtype=self.dtype, name="conv2",
-            quant_int8=self.quant_int8,
+            quant_int8=self.quant_int8, quant_static=self.quant_static,
         )(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn2")(y)
         y = nn.relu(y)
         y = Int8Conv(out_features, (1, 1), use_bias=False, dtype=self.dtype,
-                     name="conv3", quant_int8=self.quant_int8)(y)
+                     name="conv3", quant_int8=self.quant_int8, quant_static=self.quant_static)(y)
         y = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="bn3")(y)
 
@@ -172,7 +193,7 @@ class BottleneckBlock(nn.Module):
             residual = Int8Conv(
                 out_features, (1, 1), strides=(self.stride, self.stride),
                 use_bias=False, dtype=self.dtype, name="proj_conv",
-                quant_int8=self.quant_int8,
+                quant_int8=self.quant_int8, quant_static=self.quant_static,
             )(residual)
             residual = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                     dtype=self.dtype, name="proj_bn")(residual)
@@ -226,8 +247,10 @@ class ResNetFCN(nn.Module):
     bottleneck: bool = False  # BottleneckBlock (ResNet-50/101) vs BasicBlock
     dilated_s2b: bool = False
     # int8 PTQ serving path (inference only — round() has zero gradient, so
-    # train=True always runs the float convs)
+    # train=True always runs the float convs); quant_static additionally uses
+    # calibrated activation scales from the quant_scales collection
     quant_int8: bool = False
+    quant_static: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -238,7 +261,7 @@ class ResNetFCN(nn.Module):
 
         x = Int8Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
                      use_bias=False, dtype=self.dtype, name="stem_conv",
-                     quant_int8=quant)(x)
+                     quant_int8=quant, quant_static=self.quant_static)(x)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9,
                          dtype=self.dtype, name="stem_bn")(x)
         x = nn.relu(x)
@@ -278,14 +301,14 @@ class ResNetFCN(nn.Module):
                     stride=stage_strides[stage] if block == 0 else 1,
                     dilation=stage_dilations[stage],
                     dtype=self.dtype,
-                    quant_int8=quant,
+                    quant_int8=quant, quant_static=self.quant_static,
                     name=f"stage{stage + 1}_block{block}",
                 )(x, train)
 
         # 1x1 descriptor head (the reference's ``score_32s``-style head
         # collapsed to the single stride-8 head Resnet34_8s actually uses)
         x = Int8Conv(self.num_classes, (1, 1), dtype=self.dtype, name="head",
-                     quant_int8=quant)(x)
+                     quant_int8=quant, quant_static=self.quant_static)(x)
 
         if use_s2b:
             # undo the cascade (inner split first)

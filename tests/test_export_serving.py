@@ -92,3 +92,25 @@ def test_export_int8_serving_program(dcn, tmp_path):
     cos = float((out_q * out_f).sum() /
                 (np.linalg.norm(out_q) * np.linalg.norm(out_f) + 1e-9))
     assert cos > 0.99
+
+
+def test_export_int8_static_program(dcn, tmp_path):
+    """The calibrated static-scale serving program exports with the scales
+    baked in and round-trips."""
+    import jax.numpy as jnp
+
+    from pdc_tpu.apps.export_serving import (
+        export_inference, load_exported, save_exported)
+
+    rng = np.random.RandomState(3)
+    frames = [rng.randint(0, 255, (H, W, 3), np.uint8) for _ in range(3)]
+    q = dcn.calibrate_quantization(frames, batch_size=2)
+    exported = export_inference(q, batch_size=1)
+    path = str(tmp_path / "net_int8s.stablehlo")
+    save_exported(exported, path)
+    rgb = frames[0][None]
+    out_q = np.asarray(load_exported(path).call(jnp.asarray(rgb)))
+    out_f = np.asarray(dcn.forward_on_img(frames[0]))[None]
+    cos = float((out_q * out_f).sum() /
+                (np.linalg.norm(out_q) * np.linalg.norm(out_f) + 1e-9))
+    assert cos > 0.99, cos

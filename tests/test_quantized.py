@@ -142,3 +142,38 @@ def test_dcn_quantized_unet():
     cos = float((rf * rq).sum()
                 / (np.linalg.norm(rf) * np.linalg.norm(rq) + 1e-9))
     assert cos > 0.99, cos
+
+
+def test_static_calibration():
+    """calibrate_quantization populates per-layer scales; the static clone
+    stays descriptor-space-close to the float path and needs no per-call
+    abs-max (scales come from the quant_scales collection)."""
+    from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+
+    dcn = DenseCorrespondenceNetwork.from_config({
+        "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+        "descriptor_dimension": 3, "image_width": 48, "image_height": 32})
+
+    with pytest.raises(ValueError):
+        dcn.quantized(static=True)  # no scales yet
+
+    rng = np.random.RandomState(0)
+    frames = [rng.randint(0, 255, (32, 48, 3), np.uint8) for _ in range(5)]
+    q = dcn.calibrate_quantization(frames, batch_size=2)
+
+    scales = q.variables["quant_scales"]
+    leaves = jax.tree_util.tree_leaves(scales)
+    assert leaves and all(float(s) > 0 for s in leaves)
+
+    rgb = frames[0]
+    rf = np.asarray(dcn.forward_on_img(rgb))
+    rq = np.asarray(q.forward_on_img(rgb))
+    cos = float((rf * rq).sum()
+                / (np.linalg.norm(rf) * np.linalg.norm(rq) + 1e-9))
+    assert cos > 0.99, cos
+
+    # headroom scales up uniformly
+    q2 = dcn.calibrate_quantization(frames, batch_size=2, headroom=2.0)
+    for a, b in zip(jax.tree_util.tree_leaves(scales),
+                    jax.tree_util.tree_leaves(q2.variables["quant_scales"])):
+        np.testing.assert_allclose(float(b), 2 * float(a), rtol=1e-6)

@@ -21,12 +21,12 @@ enable_cache()
 B, H, W, D, K = 256, 480, 640, 3, 8
 
 
-def measure(quant: bool, variables, x):
+def measure(quant: bool, variables, x, static: bool = False):
     import dataclasses
 
     m = ResNet34_8s(D, dtype=jnp.bfloat16)
     if quant:
-        m = dataclasses.replace(m, quant_int8=True)
+        m = dataclasses.replace(m, quant_int8=True, quant_static=static)
 
     def body(c, _):
         y = m.apply(variables, c, train=False)
@@ -48,7 +48,7 @@ def measure(quant: bool, variables, x):
         t0 = time.time()
         float(run(x))
         best = min(best, (time.time() - t0) / K)
-    label = "int8" if quant else "bf16"
+    label = ("int8s" if static else "int8") if quant else "bf16"
     print(f"{label}: {best * 1e3:.1f} ms/batch = {B / best:.0f} img/s "
           f"(compile {compile_s:.0f} s)", flush=True)
     return best
@@ -68,6 +68,18 @@ def main():
     tb = measure(False, variables, x)
     ti = measure(True, variables, x)
     print(f"int8/bf16 end-to-end forward speedup: {tb / ti:.2f}x", flush=True)
+
+    # static calibrated scales (real implementation: populate quant_scales
+    # with one mutable pass, then time the static serving program)
+    import dataclasses
+    ms = dataclasses.replace(ResNet34_8s(D, dtype=jnp.bfloat16),
+                             quant_int8=True, quant_static=True)
+    _, mutated = ms.apply({**variables, "quant_scales": {}},
+                          x[:8], train=False, mutable=["quant_scales"])
+    vs = {**variables, "quant_scales": mutated["quant_scales"]}
+    ts = measure(True, vs, x, static=True)
+    print(f"int8-static/bf16 speedup: {tb / ts:.2f}x "
+          f"(vs dynamic int8: {ti / ts:.2f}x)", flush=True)
 
 
 if __name__ == "__main__":
