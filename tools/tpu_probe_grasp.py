@@ -39,9 +39,19 @@ def main():
 
     import dataclasses
 
-    for quant in (False, True):
-      net = dataclasses.replace(model, quant_int8=quant) if quant else model
-      tag = "int8_" if quant else ""
+    for mode in ("bf16", "int8", "int8s"):
+      quant = mode != "bf16"
+      net = dataclasses.replace(model, quant_int8=True,
+                                quant_static=(mode == "int8s")) \
+          if quant else model
+      if mode == "int8s":
+          # calibrate static scales with one mutable pass
+          calib = jnp.asarray(
+              np.random.RandomState(1).randn(1, H, W, 3), jnp.float32)
+          _, mut = net.apply({**variables, "quant_scales": {}}, calib,
+                             train=False, mutable=["quant_scales"])
+          variables = {**variables, "quant_scales": mut["quant_scales"]}
+      tag = "" if mode == "bf16" else mode + "_"
       for B in (1, 4, 8):
         K = 20
 
