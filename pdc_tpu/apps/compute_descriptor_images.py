@@ -47,10 +47,17 @@ def compute_descriptor_images_for_scene(dcn, scene, out_dir: str,
 
 
 def run(model_folder: str, dataset, network_name: str = None,
-        batch_size: int = 8):
+        batch_size: int = 8, quantize=False):
     from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
 
     dcn = DenseCorrespondenceNetwork.from_model_folder(model_folder)
+    if quantize == "static":
+        # calibrate static int8 scales on the first frames of the first scene
+        first = next(iter(dataset.scenes.values()))
+        dcn = dcn.calibrate_quantization(
+            list(first.rgb[:16]), batch_size=batch_size)
+    elif quantize:
+        dcn = dcn.quantized()
     network_name = network_name or os.path.basename(os.path.normpath(model_folder))
     total = 0
     for name, scene in dataset.scenes.items():
@@ -67,6 +74,10 @@ if __name__ == "__main__":  # pragma: no cover
     p.add_argument("--config", required=True, help="composite dataset yaml")
     p.add_argument("--data_dir", default=os.environ.get("DC_DATA_DIR", "."))
     p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ serving forward (dynamic scales)")
+    p.add_argument("--int8_static", action="store_true",
+                   help="int8 with static calibrated scales (fastest)")
     args = p.parse_args()
 
     from pdc_tpu.data.dataset import SpartanDataset
@@ -74,5 +85,6 @@ if __name__ == "__main__":  # pragma: no cover
 
     ds = SpartanDataset(config=load_yaml(args.config), data_dir=args.data_dir,
                         config_dir=os.path.dirname(args.config))
-    n = run(args.model_folder, ds, batch_size=args.batch_size)
+    n = run(args.model_folder, ds, batch_size=args.batch_size,
+            quantize="static" if args.int8_static else args.int8)
     print(f"wrote descriptor images for {n} frames")
