@@ -3,15 +3,16 @@
 Loads the committed ``trained_models/tpu_journey`` network (the full
 reference 3500-step schedule at 640x480), rebuilds its training dataset from
 the dataset.yaml snapshot, and runs the complete quantitative evaluation
-sweep twice — once with the float (bf16) forward and once with
-``dcn.quantized()`` (models/resnet.py Int8Conv). Writes both CSVs plus a
-summary.json with PCK@k / median pixel error / 3D error per path under
-``trained_models/quantized_serving/``.
+sweep three times — float (bf16), ``dcn.quantized()`` (dynamic int8), and
+``dcn.calibrate_quantization(...)`` (static calibrated scales; calibration
+frames come from the TRAIN split, never the eval split). Writes the CSVs
+plus a summary.json with PCK@k / median pixel error / 3D error per path
+under ``trained_models/quantized_serving/``.
 
 The throughput side of the trade is measured by
-tools/tpu_probe_int8_forward.py (1126 vs 828 img/s at B=256 on v5e); this
-script is the accuracy side. Reference metric anchor: the pixel-match-error
-CDF (evaluation.py:2677-2707).
+tools/tpu_probe_int8_forward.py (826 / 1123 / 1406 img/s at B=256 on v5e
+for bf16 / dynamic / static); this script is the accuracy side. Reference
+metric anchor: the pixel-match-error CDF (evaluation.py:2677-2707).
 
   PYTHONPATH=/root/repo:/root/.axon_site timeout 3000 python examples/quantized_serving_eval.py
 """

@@ -212,6 +212,19 @@ class SpartanDataset:
         elif config is not None and "single_object_scenes_config_files" in config:
             self._composite_config = config
 
+    def config_snapshot(self) -> dict:
+        """Config dict for a model folder's ``dataset.yaml`` snapshot
+        (reference training.py:525-541). For composite on-disk datasets the
+        snapshot additionally records absolute ``data_dir``/``config_dir`` so
+        :meth:`from_dataset_config` can reconstruct the dataset from the
+        snapshot alone (reference evaluation.py:139-141)."""
+        cfg = dict(self.config or {})
+        if self._composite_config is not None:
+            cfg["data_dir"] = os.path.abspath(self._data_dir or ".")
+            if self._config_dir is not None:
+                cfg["config_dir"] = os.path.abspath(self._config_dir)
+        return cfg
+
     def reset_seed(self, seed: int = 1):
         """Re-seed the host-side sampling RNGs — the analog of the
         reference's ``utils.reset_random_seed()`` (utils.py:332-336), which
@@ -263,6 +276,16 @@ class SpartanDataset:
             path = scene_cfg_file
             if config_dir is not None and not os.path.isabs(path):
                 path = os.path.join(config_dir, path)
+                if not os.path.exists(path):
+                    # composite YAMLs reference sibling dirs (single_object/,
+                    # multi_object/) relative to the config corpus ROOT; when
+                    # config_dir points at the composite/ subdir itself (e.g.
+                    # a CLI passing dirname(composite.yaml)), resolve against
+                    # the parent.
+                    parent = os.path.join(os.path.dirname(config_dir.rstrip(os.sep)),
+                                          scene_cfg_file)
+                    if os.path.exists(parent):
+                        path = parent
             sc = load_yaml(path)
             object_id = sc.get("object_id", os.path.splitext(os.path.basename(path))[0])
             for scene_name in sc.get(split_key, sc.get("scenes", [])):
@@ -746,5 +769,8 @@ class SpartanDataset:
             ds = SpartanDataset.make_synthetic(**config["synthetic"])
             ds.mode = mode
             return ds
+        config = dict(config or {})
+        data_dir = data_dir or config.pop("data_dir", None)
+        config_dir = config_dir or config.pop("config_dir", None)
         return SpartanDataset(config=config, mode=mode,
                               data_dir=data_dir, config_dir=config_dir)

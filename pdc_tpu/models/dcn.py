@@ -54,8 +54,8 @@ def build_backbone(config: dict, dtype=None):
 
     TPU extras beyond the reference surface: ``compute_dtype``
     ('float32' | 'bfloat16'), ``remat`` (bool), ``dilated_s2b`` (bool) and
-    ``quant_int8`` (bool — int8 PTQ serving convs, inference only) config
-    keys.
+    ``quant_int8`` (bool — int8 PTQ serving convs, inference only; see also
+    ``DCN.quantized`` / ``DCN.calibrate_quantization``) config keys.
     """
     backbone = config.get("backbone", {"model_class": "Resnet", "resnet_name": "Resnet34_8s"})
     d = config["descriptor_dimension"]

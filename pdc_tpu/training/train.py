@@ -309,7 +309,10 @@ class DenseCorrespondenceTraining:
         """Snapshot configs + unique run identifier into the model folder
         (reference training.py:525-541)."""
         save_yaml(self._config, os.path.join(self._logging_dir, "training.yaml"))
-        dataset_cfg = getattr(self._dataset, "config", {}) or {}
+        if hasattr(self._dataset, "config_snapshot"):
+            dataset_cfg = self._dataset.config_snapshot()
+        else:
+            dataset_cfg = getattr(self._dataset, "config", {}) or {}
         save_yaml(dataset_cfg, os.path.join(self._logging_dir, "dataset.yaml"))
         save_yaml({"id": uuid.uuid4().hex}, os.path.join(self._logging_dir, "identifier.yaml"))
 
