@@ -9,6 +9,12 @@
 #
 # Usage:
 #   ./deploy/run_training.sh <tpu-name> <zone> [training args...]
+#
+# With a real pdc dataset on the VM, train through the unified CLI instead:
+#   ./deploy/run_training.sh my-tpu us-central2-b  # tutorial (synthetic)
+#   gcloud ... --command 'cd ~/pdc-tpu && python -m pdc_tpu train \
+#       --dataset_config config/composite/generated_dataset.yaml \
+#       --data_dir ~/pdc --name my_net'
 set -euo pipefail
 
 TPU_NAME="${1:?tpu name}"

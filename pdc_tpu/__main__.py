@@ -6,6 +6,7 @@ CLI so a TPU VM needs no notebook server:
 
     python -m pdc_tpu train --dataset_config cfg/composite.yaml --data_dir pdc
     python -m pdc_tpu evaluate --model_folder trained_models/net
+    python -m pdc_tpu serve --model_folder trained_models/net --int8_static
     python -m pdc_tpu export-serving --model_folder ... --output net.stablehlo
     python -m pdc_tpu descriptor-images --model_folder ... --config ...
     python -m pdc_tpu preprocess --data_dir pdc/logs_proto
@@ -24,6 +25,7 @@ import sys
 
 # subcommands that delegate to a module's own __main__ block
 DELEGATED = {
+    "serve": "pdc_tpu.apps.serve",
     "export-serving": "pdc_tpu.apps.export_serving",
     "descriptor-images": "pdc_tpu.apps.compute_descriptor_images",
     "descriptor-video": "pdc_tpu.apps.make_descriptor_video",

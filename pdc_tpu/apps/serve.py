@@ -1,0 +1,431 @@
+"""Production descriptor-serving daemon: ``python -m pdc_tpu serve``.
+
+The reference has no serving story — every consumer (live heatmap UI
+``live_heatmap_visualization.py:208-231``, grasp demos, descriptor
+precompute ``compute_descriptor_images.py:38-96``) re-implements
+load-network + forward + host argmin in-process. pdc_tpu adds a
+deployment-grade surface: one daemon owns the TPU program and serves
+descriptor images / best-match queries to any number of clients over TCP,
+with cross-request microbatching so concurrent clients fill the MXU
+(one 640x480 forward costs nearly the same as eight — see the B=1 vs B=8
+grasp-stream rows in BENCHMARKS.md).
+
+Design (TPU-first):
+- ONE fused jitted program per batch bucket: uint8 frames -> mean/std
+  normalize -> backbone forward -> float32 descriptors. Buckets are powers
+  of two up to ``max_batch`` so shapes stay static (no recompiles after
+  warmup); short batches are padded.
+- A single batcher thread drains the request queue, coalescing up to
+  ``max_batch`` frames or ``max_wait_ms`` of arrivals into one dispatch —
+  the standard serving recipe for amortizing dispatch latency.
+- Best-match queries ride the same batched forward, then a tiny jitted
+  matmul-argmin (the ``find_best_match_for_descriptor`` generalization,
+  reference dense_correspondence_network.py:527-550) with the query count
+  padded to a bucket.
+- int8 PTQ serving plugs in unchanged: ``--int8`` (dynamic scales) /
+  ``--int8_static`` (calibrated scales, fastest — 1406 vs 829 img/s at
+  B=256 on v5e; see BENCHMARKS.md).
+
+Wire protocol (one TCP connection serves many requests):
+  request  = JSON header line ending in ``\\n``, then ``payload_len`` raw
+             bytes. Header keys: ``op`` ("ping" | "info" | "descriptors" |
+             "best_match"), ``shape`` [H, W, 3] (uint8 RGB payload),
+             ``queries`` [[D floats], ...] (best_match only).
+  response = JSON header line (``ok``, plus ``shape``/``dtype`` when a
+             payload follows), then the payload bytes (float32
+             little-endian descriptors, or int32 uv + float32 distances).
+
+Use :class:`DescriptorClient` from Python, or any language that can write
+a JSON line + raw bytes.
+"""
+
+from __future__ import annotations
+
+import json
+import queue
+import socket
+import socketserver
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_QUERY_BUCKETS = (16, 64, 256)
+
+
+class _DesyncError(ValueError):
+    """Protocol framing is unrecoverable; close the connection."""
+
+
+def _bucket(n: int, buckets) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+class _Request:
+    __slots__ = ("rgb", "event", "result", "error")
+
+    def __init__(self, rgb):
+        self.rgb = rgb
+        self.event = threading.Event()
+        self.result = None
+        self.error: Optional[str] = None
+
+
+class DescriptorServer:
+    """TCP descriptor server with cross-request microbatching.
+
+    :param dcn: a ``DenseCorrespondenceNetwork`` (float, ``dcn.quantized()``
+        or ``dcn.calibrate_quantization(...)`` serving clones all work —
+        the server only uses ``module``/``variables``/normalization stats).
+    :param max_batch: largest fused batch (power-of-two buckets below it).
+    :param max_wait_ms: how long the batcher waits for more requests once
+        one arrives. Keep small; it bounds added latency.
+    """
+
+    def __init__(self, dcn, host: str = "127.0.0.1", port: int = 0,
+                 max_batch: int = 8, max_wait_ms: float = 5.0):
+        self._dcn = dcn
+        self._H, self._W = dcn.image_shape
+        self._D = dcn.descriptor_dimension
+        self._max_batch = max(1, max_batch)
+        self._buckets = tuple(b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                              if b <= self._max_batch) or (1,)
+        self._max_wait_s = max_wait_ms / 1000.0
+        self._queue: "queue.Queue[_Request]" = queue.Queue()
+        self.stats = {"requests": 0, "dispatches": 0, "frames": 0}
+
+        mean = jnp.asarray(dcn.image_mean, jnp.float32)
+        std = jnp.asarray(dcn.image_std_dev, jnp.float32)
+        module = dcn.module
+
+        @jax.jit
+        def forward(variables, rgb_u8):
+            x = (rgb_u8.astype(jnp.float32) / 255.0 - mean) / std
+            out = module.apply(variables, x, train=False)
+            return out.astype(jnp.float32)
+
+        @jax.jit
+        def best_match(res, queries, q_valid):
+            # res [H, W, D] f32; queries [Qb, D]; q_valid [Qb] bool
+            H, W, D = res.shape
+            flat = res.reshape(H * W, D)
+            rnorm = jnp.sum(jnp.square(flat), axis=1)
+            cross = jnp.dot(flat, queries.T,
+                            preferred_element_type=jnp.float32)
+            d2 = rnorm[:, None] - 2.0 * cross + jnp.sum(
+                jnp.square(queries), axis=1)
+            idx = jnp.argmin(d2, axis=0)
+            dist = jnp.sqrt(jnp.maximum(
+                jnp.take_along_axis(d2, idx[None], axis=0)[0], 0.0))
+            uv = jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.int32)
+            return uv, jnp.where(q_valid, dist, jnp.inf)
+
+        self._forward = forward
+        self._best_match = best_match
+
+        self._stop = threading.Event()
+        self._batcher = threading.Thread(target=self._batch_loop,
+                                         name="pdc-serve-batcher", daemon=True)
+
+        server_self = self
+
+        class _Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                server_self._handle_connection(self.rfile, self.wfile)
+
+        class _Server(socketserver.ThreadingTCPServer):
+            allow_reuse_address = True
+            daemon_threads = True
+
+        self._tcp = _Server((host, port), _Handler)
+        self.address = self._tcp.server_address  # (host, real_port)
+
+    # -- lifecycle -----------------------------------------------------------
+
+    def warmup(self):
+        """Compile the forward for every bucket (first 640x480 compiles are
+        minutes through the axon tunnel — do them before accepting load)."""
+        for b in self._buckets:
+            z = jnp.zeros((b, self._H, self._W, 3), jnp.uint8)
+            jax.block_until_ready(self._forward(self._dcn.variables, z))
+
+    def serve_forever(self):
+        self._batcher.start()
+        try:
+            self._tcp.serve_forever(poll_interval=0.1)
+        finally:
+            self._stop.set()
+
+    def start(self):
+        """Non-blocking start (tests / embedding)."""
+        self._batcher.start()
+        t = threading.Thread(target=self._tcp.serve_forever,
+                             kwargs={"poll_interval": 0.05}, daemon=True)
+        t.start()
+
+    def shutdown(self):
+        self._stop.set()
+        self._tcp.shutdown()
+        self._tcp.server_close()
+
+    # -- batching core -------------------------------------------------------
+
+    def _batch_loop(self):
+        while not self._stop.is_set():
+            try:
+                first = self._queue.get(timeout=0.1)
+            except queue.Empty:
+                continue
+            batch = [first]
+            deadline = time.monotonic() + self._max_wait_s
+            while len(batch) < self._max_batch:
+                remaining = deadline - time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    batch.append(self._queue.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._run_batch(batch)
+
+    def _run_batch(self, batch):
+        n = len(batch)
+        b = _bucket(n, self._buckets)
+        frames = np.zeros((b, self._H, self._W, 3), np.uint8)
+        for i, req in enumerate(batch):
+            frames[i] = req.rgb
+        try:
+            out = np.asarray(self._forward(self._dcn.variables,
+                                           jnp.asarray(frames)))
+            self.stats["dispatches"] += 1
+            self.stats["frames"] += n
+            for i, req in enumerate(batch):
+                req.result = out[i]
+                req.event.set()
+        except Exception as e:  # surface device errors to every waiter
+            for req in batch:
+                req.error = f"{type(e).__name__}: {e}"
+                req.event.set()
+
+    def _compute_descriptors(self, rgb: np.ndarray) -> np.ndarray:
+        req = _Request(rgb)
+        self._queue.put(req)
+        req.event.wait()
+        if req.error is not None:
+            raise RuntimeError(req.error)
+        return req.result
+
+    # -- protocol ------------------------------------------------------------
+
+    def _handle_connection(self, rfile, wfile):
+        while not self._stop.is_set():
+            line = rfile.readline()
+            if not line:
+                return
+            try:
+                header = json.loads(line)
+            except ValueError:
+                self._send(wfile, {"ok": False, "error": "bad JSON header"})
+                return
+            try:
+                self._handle_request(header, rfile, wfile)
+            except (BrokenPipeError, ConnectionResetError):
+                return
+            except _DesyncError as e:
+                self._send(wfile, {"ok": False, "error": str(e)})
+                return
+            except Exception as e:
+                self._send(wfile, {"ok": False,
+                                   "error": f"{type(e).__name__}: {e}"})
+
+    _MAX_PAYLOAD = 64 << 20
+
+    def _read_frame(self, header, rfile) -> np.ndarray:
+        shape = header.get("shape")
+        if (not isinstance(shape, list) or len(shape) != 3
+                or not all(isinstance(x, int) and x > 0 for x in shape)
+                or int(np.prod(shape)) > self._MAX_PAYLOAD):
+            # can't trust the declared length -> the stream is desynced;
+            # _DesyncError closes the connection after the error response
+            raise _DesyncError(f"bad shape: {shape!r}")
+        # drain the declared payload FIRST so the connection stays usable
+        # even when validation below rejects the request
+        nbytes = int(np.prod(shape))
+        payload = rfile.read(nbytes)
+        expect = [self._H, self._W, 3]
+        if shape != expect:
+            raise ValueError(f"shape {shape} != served {expect}")
+        if len(payload) != nbytes:
+            raise _DesyncError("truncated payload")
+        return np.frombuffer(payload, np.uint8).reshape(shape)
+
+    def _handle_request(self, header, rfile, wfile):
+        op = header.get("op")
+        self.stats["requests"] += 1
+        if op == "ping":
+            self._send(wfile, {"ok": True})
+        elif op == "info":
+            self._send(wfile, {
+                "ok": True, "height": self._H, "width": self._W,
+                "descriptor_dimension": self._D,
+                "max_batch": self._max_batch, "stats": dict(self.stats),
+            })
+        elif op == "descriptors":
+            rgb = self._read_frame(header, rfile)
+            res = self._compute_descriptors(rgb)
+            self._send(wfile, {"ok": True, "shape": list(res.shape),
+                               "dtype": "float32"},
+                       res.astype("<f4").tobytes())
+        elif op == "best_match":
+            rgb = self._read_frame(header, rfile)  # drains payload first
+            queries = np.asarray(header.get("queries", []), np.float32)
+            if queries.ndim != 2 or queries.shape[1] != self._D:
+                raise ValueError(f"queries must be [Q, {self._D}]")
+            res = self._compute_descriptors(rgb)
+            q = queries.shape[0]
+            qb = _bucket(q, _QUERY_BUCKETS)
+            padded = np.zeros((qb, self._D), np.float32)
+            padded[:q] = queries
+            valid = np.zeros((qb,), bool)
+            valid[:q] = True
+            uv, dist = self._best_match(jnp.asarray(res), jnp.asarray(padded),
+                                        jnp.asarray(valid))
+            uv, dist = np.asarray(uv)[:q], np.asarray(dist)[:q]
+            self._send(wfile, {"ok": True, "num_queries": q,
+                               "dtype": "int32+float32"},
+                       uv.astype("<i4").tobytes() + dist.astype("<f4").tobytes())
+        else:
+            raise ValueError(f"unknown op: {op!r}")
+
+    @staticmethod
+    def _send(wfile, header: dict, payload: bytes = b""):
+        wfile.write(json.dumps(header).encode() + b"\n" + payload)
+        wfile.flush()
+
+
+class DescriptorClient:
+    """Blocking client for :class:`DescriptorServer` (one socket, reusable
+    across requests; thread-safe per-instance via an internal lock)."""
+
+    def __init__(self, host: str, port: int, timeout: float = 120.0):
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._rfile = self._sock.makefile("rb")
+        self._lock = threading.Lock()
+
+    def close(self):
+        self._rfile.close()
+        self._sock.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    def _roundtrip(self, header: dict, payload: bytes = b"") -> dict:
+        with self._lock:
+            self._sock.sendall(json.dumps(header).encode() + b"\n" + payload)
+            line = self._rfile.readline()
+            if not line:
+                raise ConnectionError("server closed connection")
+            resp = json.loads(line)
+            if not resp.get("ok"):
+                raise RuntimeError(resp.get("error", "server error"))
+            resp["_payload"] = b""
+            nbytes = self._payload_len(resp)
+            if nbytes:
+                data = self._rfile.read(nbytes)
+                if len(data) != nbytes:
+                    raise ConnectionError("truncated response")
+                resp["_payload"] = data
+            return resp
+
+    @staticmethod
+    def _payload_len(resp: dict) -> int:
+        if "shape" in resp:
+            return int(np.prod(resp["shape"])) * 4
+        if "num_queries" in resp:
+            return int(resp["num_queries"]) * (2 * 4 + 4)
+        return 0
+
+    def ping(self) -> bool:
+        return bool(self._roundtrip({"op": "ping"}).get("ok"))
+
+    def info(self) -> dict:
+        r = self._roundtrip({"op": "info"})
+        r.pop("_payload", None)
+        return r
+
+    def descriptors(self, rgb_u8: np.ndarray) -> np.ndarray:
+        """uint8 RGB [H, W, 3] -> float32 descriptor image [H, W, D]."""
+        rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
+        r = self._roundtrip({"op": "descriptors",
+                             "shape": list(rgb_u8.shape)}, rgb_u8.tobytes())
+        return np.frombuffer(r["_payload"], "<f4").reshape(r["shape"])
+
+    def best_match(self, rgb_u8: np.ndarray, queries: np.ndarray):
+        """:return: (uv [Q, 2] int32, dist [Q] float32) best matches of each
+        query descriptor in the frame's descriptor image."""
+        rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
+        queries = np.asarray(queries, np.float32)
+        r = self._roundtrip(
+            {"op": "best_match", "shape": list(rgb_u8.shape),
+             "queries": queries.tolist()}, rgb_u8.tobytes())
+        q = r["num_queries"]
+        raw = r["_payload"]
+        uv = np.frombuffer(raw[:q * 8], "<i4").reshape(q, 2)
+        dist = np.frombuffer(raw[q * 8:], "<f4")
+        return uv, dist
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="python -m pdc_tpu serve",
+        description="descriptor serving daemon (microbatched TCP server)")
+    p.add_argument("--model_folder", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=7863)
+    p.add_argument("--max_batch", type=int, default=8)
+    p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--int8", action="store_true",
+                   help="int8 PTQ serving forward (dynamic scales)")
+    p.add_argument("--int8_static", action="store_true",
+                   help="int8 with static calibrated scales (fastest; "
+                        "calibrates on the training dataset's first frames)")
+    p.add_argument("--iteration", type=int, default=None)
+    args = p.parse_args(argv)
+
+    from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+    from pdc_tpu.utils.compilation_cache import enable
+
+    enable()
+    dcn = DenseCorrespondenceNetwork.from_model_folder(
+        args.model_folder, iteration=args.iteration)
+    if args.int8_static:
+        dataset = dcn.load_training_dataset()
+        first = next(iter(dataset.scenes.values()))
+        dcn = dcn.calibrate_quantization(list(first.rgb[:16]))
+    elif args.int8:
+        dcn = dcn.quantized()
+
+    server = DescriptorServer(dcn, host=args.host, port=args.port,
+                              max_batch=args.max_batch,
+                              max_wait_ms=args.max_wait_ms)
+    print(f"compiling {len(server._buckets)} batch buckets...", flush=True)
+    server.warmup()
+    host, port = server.address
+    print(f"serving {args.model_folder} on {host}:{port} "
+          f"(max_batch={args.max_batch})", flush=True)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

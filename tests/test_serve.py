@@ -1,0 +1,140 @@
+"""Descriptor serving daemon (pdc_tpu/apps/serve.py): protocol roundtrip,
+numerical parity with the in-process forward, best-match queries, error
+paths, and cross-request microbatching under concurrent clients."""
+
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from pdc_tpu.apps.serve import DescriptorClient, DescriptorServer
+from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+
+W, H, D = 48, 32, 3
+
+
+@pytest.fixture(scope="module")
+def dcn():
+    cfg = {"descriptor_dimension": D, "image_width": W, "image_height": H,
+           "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"}}
+    return DenseCorrespondenceNetwork.from_config(cfg, rng=jax.random.PRNGKey(3))
+
+
+@pytest.fixture(scope="module")
+def server(dcn):
+    s = DescriptorServer(dcn, port=0, max_batch=4, max_wait_ms=20.0)
+    s.warmup()
+    s.start()
+    yield s
+    s.shutdown()
+
+
+def _client(server):
+    host, port = server.address
+    return DescriptorClient(host, port)
+
+
+def _frame(seed):
+    return np.random.RandomState(seed).randint(
+        0, 255, size=(H, W, 3), dtype=np.uint8)
+
+
+def test_ping_and_info(server):
+    with _client(server) as c:
+        assert c.ping()
+        info = c.info()
+        assert (info["height"], info["width"]) == (H, W)
+        assert info["descriptor_dimension"] == D
+
+
+def test_descriptors_match_in_process_forward(server, dcn):
+    rgb = _frame(0)
+    with _client(server) as c:
+        served = c.descriptors(rgb)
+    direct = np.asarray(dcn.forward_on_img(rgb))
+    assert served.shape == (H, W, D)
+    np.testing.assert_allclose(served, direct, atol=1e-4, rtol=1e-4)
+
+
+def test_best_match_matches_library_search(server, dcn):
+    rgb = _frame(1)
+    res = np.asarray(dcn.forward_on_img(rgb))
+    # queries = exact descriptors at known pixels -> best match must land
+    # at distance ~0 (ties possible on synthetic textures; check distance)
+    pts = [(5, 7), (30, 20), (11, 3)]
+    queries = np.stack([res[v, u] for u, v in pts])
+    with _client(server) as c:
+        uv, dist = c.best_match(rgb, queries)
+    assert uv.shape == (3, 2) and dist.shape == (3,)
+    assert np.all(dist < 1e-4)
+    for (u, v), (bu, bv) in zip(pts, uv):
+        np.testing.assert_allclose(res[bv, bu], res[v, u], atol=1e-5)
+
+
+def test_multiple_requests_one_connection(server):
+    with _client(server) as c:
+        a = c.descriptors(_frame(2))
+        assert c.ping()
+        b = c.descriptors(_frame(3))
+    assert not np.allclose(a, b)
+
+
+def test_error_paths(server):
+    with _client(server) as c:
+        with pytest.raises(RuntimeError, match="shape"):
+            c._roundtrip({"op": "descriptors", "shape": [8, 8, 3]},
+                         b"\0" * (8 * 8 * 3))
+        with pytest.raises(RuntimeError, match="unknown op"):
+            c._roundtrip({"op": "frobnicate"})
+        with pytest.raises(RuntimeError, match="queries"):
+            c._roundtrip({"op": "best_match", "shape": [H, W, 3],
+                          "queries": [[1.0]]}, _frame(4).tobytes())
+        # connection still serves after errors
+        assert c.ping()
+
+
+def test_concurrent_clients_microbatch(server, dcn):
+    """8 concurrent clients: all answers correct, and the batcher coalesced
+    them into fewer dispatches than requests."""
+    frames = [_frame(10 + i) for i in range(8)]
+    expected = [np.asarray(dcn.forward_on_img(f)) for f in frames]
+    before = dict(server.stats)
+    results = [None] * 8
+    errors = []
+
+    def worker(i):
+        try:
+            with _client(server) as c:
+                results[i] = c.descriptors(frames[i])
+        except Exception as e:  # pragma: no cover - surfaced via errors list
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors
+    for got, want in zip(results, expected):
+        np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    frames_served = server.stats["frames"] - before["frames"]
+    dispatches = server.stats["dispatches"] - before["dispatches"]
+    assert frames_served == 8
+    assert dispatches < 8, "no cross-request batching happened"
+
+
+def test_quantized_serving_clone(dcn):
+    """The int8 serving clone drops into the same server unchanged."""
+    s = DescriptorServer(dcn.quantized(), port=0, max_batch=2)
+    s.start()
+    try:
+        rgb = _frame(42)
+        with _client(s) as c:
+            served = c.descriptors(rgb)
+        direct = np.asarray(dcn.forward_on_img(rgb))
+        cos = float((served * direct).sum()
+                    / (np.linalg.norm(served) * np.linalg.norm(direct) + 1e-12))
+        assert cos > 0.99, cos
+    finally:
+        s.shutdown()
