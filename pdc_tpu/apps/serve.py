@@ -86,16 +86,27 @@ class DescriptorServer:
     :param max_batch: largest fused batch (power-of-two buckets below it).
     :param max_wait_ms: how long the batcher waits for more requests once
         one arrives. Keep small; it bounds added latency.
+    :param mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — the
+        coalesced batch is sharded over it (GSPMD splits the forward across
+        chips over ICI), so one daemon saturates a whole slice. Batch
+        buckets become multiples of the axis size.
     """
 
     def __init__(self, dcn, host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 8, max_wait_ms: float = 5.0):
+                 max_batch: int = 8, max_wait_ms: float = 5.0, mesh=None):
         self._dcn = dcn
         self._H, self._W = dcn.image_shape
         self._D = dcn.descriptor_dimension
-        self._max_batch = max(1, max_batch)
-        self._buckets = tuple(b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256)
-                              if b <= self._max_batch) or (1,)
+        self._mesh = mesh
+        if mesh is not None:
+            n = mesh.shape["data"]
+            self._max_batch = max(n, (max_batch // n) * n)
+            self._buckets = tuple(n * m for m in (1, 2, 4, 8, 16, 32)
+                                  if n * m <= self._max_batch) or (n,)
+        else:
+            self._max_batch = max(1, max_batch)
+            self._buckets = tuple(b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256)
+                                  if b <= self._max_batch) or (1,)
         self._max_wait_s = max_wait_ms / 1000.0
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self.stats = {"requests": 0, "dispatches": 0, "frames": 0}
@@ -104,11 +115,21 @@ class DescriptorServer:
         std = jnp.asarray(dcn.image_std_dev, jnp.float32)
         module = dcn.module
 
-        @jax.jit
-        def forward(variables, rgb_u8):
+        def _fwd(variables, rgb_u8):
             x = (rgb_u8.astype(jnp.float32) / 255.0 - mean) / std
             out = module.apply(variables, x, train=False)
             return out.astype(jnp.float32)
+
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            forward = jax.jit(
+                _fwd,
+                in_shardings=(NamedSharding(mesh, P()),
+                              NamedSharding(mesh, P("data"))),
+                out_shardings=NamedSharding(mesh, P("data")))
+        else:
+            forward = jax.jit(_fwd)
 
         @jax.jit
         def best_match(res, queries, q_valid):
@@ -400,6 +421,10 @@ def main(argv=None):
     p.add_argument("--int8_static", action="store_true",
                    help="int8 with static calibrated scales (fastest; "
                         "calibrates on the training dataset's first frames)")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="shard each coalesced batch over ALL local chips "
+                        "(jax.sharding data-axis mesh); one daemon "
+                        "saturates the slice")
     p.add_argument("--iteration", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -416,9 +441,14 @@ def main(argv=None):
     elif args.int8:
         dcn = dcn.quantized()
 
+    mesh = None
+    if args.data_parallel:
+        from pdc_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh(("data",))
     server = DescriptorServer(dcn, host=args.host, port=args.port,
                               max_batch=args.max_batch,
-                              max_wait_ms=args.max_wait_ms)
+                              max_wait_ms=args.max_wait_ms, mesh=mesh)
     print(f"compiling {len(server._buckets)} batch buckets...", flush=True)
     server.warmup()
     host, port = server.address

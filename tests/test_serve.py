@@ -124,6 +124,39 @@ def test_concurrent_clients_microbatch(server, dcn):
     assert dispatches < 8, "no cross-request batching happened"
 
 
+def test_mesh_sharded_server(dcn):
+    """mesh= shards each coalesced batch over the 8 virtual devices; answers
+    must match the unsharded forward."""
+    from pdc_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(("data",))
+    n = mesh.shape["data"]
+    s = DescriptorServer(dcn, port=0, max_batch=4 * n, max_wait_ms=30.0,
+                         mesh=mesh)
+    assert all(b % n == 0 for b in s._buckets)
+    s.start()
+    try:
+        frames = [_frame(50 + i) for i in range(n + 3)]  # pad + multi-shard
+        expected = [np.asarray(dcn.forward_on_img(f)) for f in frames]
+        host, port = s.address
+        results = [None] * len(frames)
+
+        def worker(i):
+            with DescriptorClient(host, port) as c:
+                results[i] = c.descriptors(frames[i])
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(len(frames))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        for got, want in zip(results, expected):
+            np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    finally:
+        s.shutdown()
+
+
 def test_quantized_serving_clone(dcn):
     """The int8 serving clone drops into the same server unchanged."""
     s = DescriptorServer(dcn.quantized(), port=0, max_batch=2)
