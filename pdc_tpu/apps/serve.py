@@ -163,6 +163,9 @@ class DescriptorServer:
         class _Server(socketserver.ThreadingTCPServer):
             allow_reuse_address = True
             daemon_threads = True
+            # many clients connect at once (one per camera stream / worker);
+            # the default backlog of 5 drops concurrent connects
+            request_queue_size = 256
 
         self._tcp = _Server((host, port), _Handler)
         self.address = self._tcp.server_address  # (host, real_port)
@@ -175,6 +178,11 @@ class DescriptorServer:
         for b in self._buckets:
             z = jnp.zeros((b, self._H, self._W, 3), jnp.uint8)
             jax.block_until_ready(self._forward(self._dcn.variables, z))
+        res = jnp.zeros((self._H, self._W, self._D), jnp.float32)
+        for qb in _QUERY_BUCKETS:
+            jax.block_until_ready(self._best_match(
+                res, jnp.zeros((qb, self._D), jnp.float32),
+                jnp.zeros((qb,), bool)))
 
     def serve_forever(self):
         self._batcher.start()
@@ -222,19 +230,25 @@ class DescriptorServer:
         for i, req in enumerate(batch):
             frames[i] = req.rgb
         try:
-            out = np.asarray(self._forward(self._dcn.variables,
-                                           jnp.asarray(frames)))
+            # dispatch is async; the result stays ON DEVICE. Each request
+            # handler thread fetches only the slice (or, for best_match,
+            # only the tiny answer) it needs, concurrently with the
+            # batcher's next dispatch — crucial when device<->host
+            # bandwidth is the bottleneck (a full [64, 480, 640, D] f32
+            # fetch is ~240 MB; a best_match answer is 192 bytes).
+            out = self._forward(self._dcn.variables, jnp.asarray(frames))
             self.stats["dispatches"] += 1
             self.stats["frames"] += n
             for i, req in enumerate(batch):
-                req.result = out[i]
+                req.result = (out, i)
                 req.event.set()
         except Exception as e:  # surface device errors to every waiter
             for req in batch:
                 req.error = f"{type(e).__name__}: {e}"
                 req.event.set()
 
-    def _compute_descriptors(self, rgb: np.ndarray) -> np.ndarray:
+    def _compute_descriptors(self, rgb: np.ndarray):
+        """:return: (batched device array [B, H, W, D], index of this frame)"""
         req = _Request(rgb)
         self._queue.put(req)
         req.event.wait()
@@ -299,7 +313,8 @@ class DescriptorServer:
             })
         elif op == "descriptors":
             rgb = self._read_frame(header, rfile)
-            res = self._compute_descriptors(rgb)
+            out, i = self._compute_descriptors(rgb)
+            res = np.asarray(out[i])  # fetch only this frame's slice
             self._send(wfile, {"ok": True, "shape": list(res.shape),
                                "dtype": "float32"},
                        res.astype("<f4").tobytes())
@@ -308,14 +323,16 @@ class DescriptorServer:
             queries = np.asarray(header.get("queries", []), np.float32)
             if queries.ndim != 2 or queries.shape[1] != self._D:
                 raise ValueError(f"queries must be [Q, {self._D}]")
-            res = self._compute_descriptors(rgb)
+            out, i = self._compute_descriptors(rgb)
             q = queries.shape[0]
             qb = _bucket(q, _QUERY_BUCKETS)
             padded = np.zeros((qb, self._D), np.float32)
             padded[:q] = queries
             valid = np.zeros((qb,), bool)
             valid[:q] = True
-            uv, dist = self._best_match(jnp.asarray(res), jnp.asarray(padded),
+            # argmin runs on device against the still-resident descriptor
+            # image; only uv/dist (bytes, not megabytes) cross to the host
+            uv, dist = self._best_match(out[i], jnp.asarray(padded),
                                         jnp.asarray(valid))
             uv, dist = np.asarray(uv)[:q], np.asarray(dist)[:q]
             self._send(wfile, {"ok": True, "num_queries": q,
