@@ -18,10 +18,13 @@ Design (TPU-first):
 - A single batcher thread drains the request queue, coalescing up to
   ``max_batch`` frames or ``max_wait_ms`` of arrivals into one dispatch —
   the standard serving recipe for amortizing dispatch latency.
-- Best-match queries ride the same batched forward, then a tiny jitted
-  matmul-argmin (the ``find_best_match_for_descriptor`` generalization,
-  reference dense_correspondence_network.py:527-550) with the query count
-  padded to a bucket.
+- Best-match queries ride INSIDE the same batched dispatch (the
+  ``find_best_match_for_descriptor`` generalization, reference
+  dense_correspondence_network.py:527-550, batched as one einsum-argmin
+  over the coalesced frames): a batch of best_match requests costs exactly
+  one upload + one bytes-sized fetch, never a per-request device round
+  trip. Descriptor images stay on device; the ``descriptors`` op fetches
+  only its own frame's slice.
 - int8 PTQ serving plugs in unchanged: ``--int8`` (dynamic scales) /
   ``--int8_static`` (calibrated scales, fastest — 1406 vs 829 img/s at
   B=256 on v5e; see BENCHMARKS.md).
@@ -53,9 +56,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_QUERY_BUCKETS = (16, 64, 256)
-
-
 class _DesyncError(ValueError):
     """Protocol framing is unrecoverable; close the connection."""
 
@@ -68,12 +68,13 @@ def _bucket(n: int, buckets) -> int:
 
 
 class _Request:
-    __slots__ = ("rgb", "event", "result", "error")
+    __slots__ = ("rgb", "queries", "event", "result", "error")
 
-    def __init__(self, rgb):
+    def __init__(self, rgb, queries=None):
         self.rgb = rgb
+        self.queries = queries  # [Q, D] float32 or None (descriptors op)
         self.event = threading.Event()
-        self.result = None
+        self.result = None  # (out_device, i, uv [Qmax, 2], dist [Qmax])
         self.error: Optional[str] = None
 
 
@@ -90,13 +91,19 @@ class DescriptorServer:
         coalesced batch is sharded over it (GSPMD splits the forward across
         chips over ICI), so one daemon saturates a whole slice. Batch
         buckets become multiples of the axis size.
+    :param max_queries: per-request best-match query budget. Queries ride
+        the SAME batched dispatch as the forward (one device round trip per
+        coalesced batch, not per request), so the whole best_match path
+        costs one upload + one tiny fetch per batch.
     """
 
     def __init__(self, dcn, host: str = "127.0.0.1", port: int = 0,
-                 max_batch: int = 8, max_wait_ms: float = 5.0, mesh=None):
+                 max_batch: int = 8, max_wait_ms: float = 5.0, mesh=None,
+                 max_queries: int = 16):
         self._dcn = dcn
         self._H, self._W = dcn.image_shape
         self._D = dcn.descriptor_dimension
+        self._Q = max(1, max_queries)
         self._mesh = mesh
         if mesh is not None:
             n = mesh.shape["data"]
@@ -115,40 +122,37 @@ class DescriptorServer:
         std = jnp.asarray(dcn.image_std_dev, jnp.float32)
         module = dcn.module
 
-        def _fwd(variables, rgb_u8):
+        W = self._W
+
+        def _fwd(variables, rgb_u8, queries, q_valid):
+            # rgb_u8 [B, H, W, 3]; queries [B, Q, D]; q_valid [B, Q] bool
             x = (rgb_u8.astype(jnp.float32) / 255.0 - mean) / std
-            out = module.apply(variables, x, train=False)
-            return out.astype(jnp.float32)
+            out = module.apply(variables, x, train=False).astype(jnp.float32)
+            B = out.shape[0]
+            flat = out.reshape(B, -1, out.shape[-1])        # [B, HW, D]
+            rnorm = jnp.sum(jnp.square(flat), axis=-1)      # [B, HW]
+            cross = jnp.einsum("bnd,bqd->bnq", flat, queries,
+                               preferred_element_type=jnp.float32)
+            d2 = (rnorm[:, :, None] - 2.0 * cross
+                  + jnp.sum(jnp.square(queries), axis=-1)[:, None, :])
+            idx = jnp.argmin(d2, axis=1)                    # [B, Q]
+            dist = jnp.sqrt(jnp.maximum(
+                jnp.take_along_axis(d2, idx[:, None, :], axis=1)[:, 0, :],
+                0.0))
+            uv = jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.int32)
+            return out, uv, jnp.where(q_valid, dist, jnp.inf)
 
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            forward = jax.jit(
-                _fwd,
-                in_shardings=(NamedSharding(mesh, P()),
-                              NamedSharding(mesh, P("data"))),
-                out_shardings=NamedSharding(mesh, P("data")))
+            repl = NamedSharding(mesh, P())
+            data = NamedSharding(mesh, P("data"))
+            forward = jax.jit(_fwd, in_shardings=(repl, data, data, data),
+                              out_shardings=(data, data, data))
         else:
             forward = jax.jit(_fwd)
 
-        @jax.jit
-        def best_match(res, queries, q_valid):
-            # res [H, W, D] f32; queries [Qb, D]; q_valid [Qb] bool
-            H, W, D = res.shape
-            flat = res.reshape(H * W, D)
-            rnorm = jnp.sum(jnp.square(flat), axis=1)
-            cross = jnp.dot(flat, queries.T,
-                            preferred_element_type=jnp.float32)
-            d2 = rnorm[:, None] - 2.0 * cross + jnp.sum(
-                jnp.square(queries), axis=1)
-            idx = jnp.argmin(d2, axis=0)
-            dist = jnp.sqrt(jnp.maximum(
-                jnp.take_along_axis(d2, idx[None], axis=0)[0], 0.0))
-            uv = jnp.stack([idx % W, idx // W], axis=-1).astype(jnp.int32)
-            return uv, jnp.where(q_valid, dist, jnp.inf)
-
         self._forward = forward
-        self._best_match = best_match
 
         self._stop = threading.Event()
         self._batcher = threading.Thread(target=self._batch_loop,
@@ -177,12 +181,9 @@ class DescriptorServer:
         minutes through the axon tunnel — do them before accepting load)."""
         for b in self._buckets:
             z = jnp.zeros((b, self._H, self._W, 3), jnp.uint8)
-            jax.block_until_ready(self._forward(self._dcn.variables, z))
-        res = jnp.zeros((self._H, self._W, self._D), jnp.float32)
-        for qb in _QUERY_BUCKETS:
-            jax.block_until_ready(self._best_match(
-                res, jnp.zeros((qb, self._D), jnp.float32),
-                jnp.zeros((qb,), bool)))
+            q = jnp.zeros((b, self._Q, self._D), jnp.float32)
+            v = jnp.zeros((b, self._Q), bool)
+            jax.block_until_ready(self._forward(self._dcn.variables, z, q, v))
 
     def serve_forever(self):
         self._batcher.start()
@@ -227,29 +228,41 @@ class DescriptorServer:
         n = len(batch)
         b = _bucket(n, self._buckets)
         frames = np.zeros((b, self._H, self._W, 3), np.uint8)
+        queries = np.zeros((b, self._Q, self._D), np.float32)
+        valid = np.zeros((b, self._Q), bool)
         for i, req in enumerate(batch):
             frames[i] = req.rgb
+            if req.queries is not None:
+                q = req.queries.shape[0]
+                queries[i, :q] = req.queries
+                valid[i, :q] = True
         try:
-            # dispatch is async; the result stays ON DEVICE. Each request
-            # handler thread fetches only the slice (or, for best_match,
-            # only the tiny answer) it needs, concurrently with the
-            # batcher's next dispatch — crucial when device<->host
-            # bandwidth is the bottleneck (a full [64, 480, 640, D] f32
-            # fetch is ~240 MB; a best_match answer is 192 bytes).
-            out = self._forward(self._dcn.variables, jnp.asarray(frames))
+            # One dispatch serves the whole batch: forward AND every
+            # request's best-match queries. The descriptor images stay ON
+            # DEVICE (each handler thread fetches only its slice, only for
+            # the descriptors op); uv/dist are fetched here in one small
+            # transfer — so best_match traffic costs one upload + bytes
+            # back per BATCH, never a per-request device round trip.
+            out, uv, dist = self._forward(
+                self._dcn.variables, jnp.asarray(frames),
+                jnp.asarray(queries), jnp.asarray(valid))
+            uv_h = np.asarray(uv) if valid.any() else None
+            dist_h = np.asarray(dist) if valid.any() else None
             self.stats["dispatches"] += 1
             self.stats["frames"] += n
             for i, req in enumerate(batch):
-                req.result = (out, i)
+                req.result = (out, i,
+                              None if uv_h is None else uv_h[i],
+                              None if dist_h is None else dist_h[i])
                 req.event.set()
         except Exception as e:  # surface device errors to every waiter
             for req in batch:
                 req.error = f"{type(e).__name__}: {e}"
                 req.event.set()
 
-    def _compute_descriptors(self, rgb: np.ndarray):
-        """:return: (batched device array [B, H, W, D], index of this frame)"""
-        req = _Request(rgb)
+    def _submit(self, rgb: np.ndarray, queries=None):
+        """:return: (out_device [B, H, W, D], i, uv [Qmax, 2], dist [Qmax])"""
+        req = _Request(rgb, queries)
         self._queue.put(req)
         req.event.wait()
         if req.error is not None:
@@ -309,11 +322,12 @@ class DescriptorServer:
             self._send(wfile, {
                 "ok": True, "height": self._H, "width": self._W,
                 "descriptor_dimension": self._D,
-                "max_batch": self._max_batch, "stats": dict(self.stats),
+                "max_batch": self._max_batch, "max_queries": self._Q,
+                "stats": dict(self.stats),
             })
         elif op == "descriptors":
             rgb = self._read_frame(header, rfile)
-            out, i = self._compute_descriptors(rgb)
+            out, i, _, _ = self._submit(rgb)
             res = np.asarray(out[i])  # fetch only this frame's slice
             self._send(wfile, {"ok": True, "shape": list(res.shape),
                                "dtype": "float32"},
@@ -323,18 +337,12 @@ class DescriptorServer:
             queries = np.asarray(header.get("queries", []), np.float32)
             if queries.ndim != 2 or queries.shape[1] != self._D:
                 raise ValueError(f"queries must be [Q, {self._D}]")
-            out, i = self._compute_descriptors(rgb)
             q = queries.shape[0]
-            qb = _bucket(q, _QUERY_BUCKETS)
-            padded = np.zeros((qb, self._D), np.float32)
-            padded[:q] = queries
-            valid = np.zeros((qb,), bool)
-            valid[:q] = True
-            # argmin runs on device against the still-resident descriptor
-            # image; only uv/dist (bytes, not megabytes) cross to the host
-            uv, dist = self._best_match(out[i], jnp.asarray(padded),
-                                        jnp.asarray(valid))
-            uv, dist = np.asarray(uv)[:q], np.asarray(dist)[:q]
+            if q > self._Q:
+                raise ValueError(
+                    f"too many queries: {q} > max_queries {self._Q}")
+            _, _, uv, dist = self._submit(rgb, queries)
+            uv, dist = uv[:q], dist[:q]
             self._send(wfile, {"ok": True, "num_queries": q,
                                "dtype": "int32+float32"},
                        uv.astype("<i4").tobytes() + dist.astype("<f4").tobytes())
@@ -433,6 +441,8 @@ def main(argv=None):
     p.add_argument("--port", type=int, default=7863)
     p.add_argument("--max_batch", type=int, default=8)
     p.add_argument("--max_wait_ms", type=float, default=5.0)
+    p.add_argument("--max_queries", type=int, default=16,
+                   help="per-request best-match query budget")
     p.add_argument("--int8", action="store_true",
                    help="int8 PTQ serving forward (dynamic scales)")
     p.add_argument("--int8_static", action="store_true",
@@ -465,7 +475,8 @@ def main(argv=None):
         mesh = make_mesh(("data",))
     server = DescriptorServer(dcn, host=args.host, port=args.port,
                               max_batch=args.max_batch,
-                              max_wait_ms=args.max_wait_ms, mesh=mesh)
+                              max_wait_ms=args.max_wait_ms, mesh=mesh,
+                              max_queries=args.max_queries)
     print(f"compiling {len(server._buckets)} batch buckets...", flush=True)
     server.warmup()
     host, port = server.address

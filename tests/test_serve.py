@@ -90,6 +90,9 @@ def test_error_paths(server):
         with pytest.raises(RuntimeError, match="queries"):
             c._roundtrip({"op": "best_match", "shape": [H, W, 3],
                           "queries": [[1.0]]}, _frame(4).tobytes())
+        with pytest.raises(RuntimeError, match="max_queries"):
+            c._roundtrip({"op": "best_match", "shape": [H, W, 3],
+                          "queries": [[0.0] * D] * 99}, _frame(4).tobytes())
         # connection still serves after errors
         assert c.ping()
 
