@@ -117,8 +117,12 @@ def main(argv=None):
     if cmd == "evaluate":
         return _cmd_evaluate(rest)
     if cmd in DELEGATED:
+        saved_argv = sys.argv
         sys.argv = [f"python -m {DELEGATED[cmd]}"] + rest
-        runpy.run_module(DELEGATED[cmd], run_name="__main__")
+        try:
+            runpy.run_module(DELEGATED[cmd], run_name="__main__")
+        finally:
+            sys.argv = saved_argv
         return 0
     print(f"unknown command: {cmd}\ncommands: {', '.join(commands)}",
           file=sys.stderr)

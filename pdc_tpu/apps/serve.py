@@ -45,6 +45,7 @@ a JSON line + raw bytes.
 from __future__ import annotations
 
 import json
+import math
 import queue
 import socket
 import socketserver
@@ -107,20 +108,33 @@ class DescriptorServer:
         self._mesh = mesh
         if mesh is not None:
             n = mesh.shape["data"]
-            self._max_batch = max(n, (max_batch // n) * n)
             self._buckets = tuple(n * m for m in (1, 2, 4, 8, 16, 32)
-                                  if n * m <= self._max_batch) or (n,)
+                                  if n * m <= max(n, max_batch)) or (n,)
         else:
-            self._max_batch = max(1, max_batch)
             self._buckets = tuple(b for b in (1, 2, 4, 8, 16, 32, 64, 128, 256)
-                                  if b <= self._max_batch) or (1,)
+                                  if b <= max(1, max_batch)) or (1,)
+        # the batcher must never collect more than the largest bucket can
+        # hold — a non-power-of-two max_batch would otherwise overflow the
+        # padded frame array
+        self._max_batch = self._buckets[-1]
         self._max_wait_s = max_wait_ms / 1000.0
         self._queue: "queue.Queue[_Request]" = queue.Queue()
         self.stats = {"requests": 0, "dispatches": 0, "frames": 0}
+        self._stats_lock = threading.Lock()  # handler threads race on stats
 
         mean = jnp.asarray(dcn.image_mean, jnp.float32)
         std = jnp.asarray(dcn.image_std_dev, jnp.float32)
         module = dcn.module
+        # checkpoint-restored variables are host numpy arrays; put them on
+        # device ONCE (replicated across the mesh) so every dispatch doesn't
+        # re-upload the full weight set
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            self._variables = jax.device_put(
+                dcn.variables, NamedSharding(mesh, PartitionSpec()))
+        else:
+            self._variables = jax.device_put(dcn.variables)
 
         W = self._W
 
@@ -183,7 +197,7 @@ class DescriptorServer:
             z = jnp.zeros((b, self._H, self._W, 3), jnp.uint8)
             q = jnp.zeros((b, self._Q, self._D), jnp.float32)
             v = jnp.zeros((b, self._Q), bool)
-            jax.block_until_ready(self._forward(self._dcn.variables, z, q, v))
+            jax.block_until_ready(self._forward(self._variables, z, q, v))
 
     def serve_forever(self):
         self._batcher.start()
@@ -203,6 +217,15 @@ class DescriptorServer:
         self._stop.set()
         self._tcp.shutdown()
         self._tcp.server_close()
+        # fail any requests the batcher will never drain so their handler
+        # threads (and remote clients) unblock immediately
+        while True:
+            try:
+                req = self._queue.get_nowait()
+            except queue.Empty:
+                break
+            req.error = "server shut down"
+            req.event.set()
 
     # -- batching core -------------------------------------------------------
 
@@ -244,12 +267,13 @@ class DescriptorServer:
             # transfer — so best_match traffic costs one upload + bytes
             # back per BATCH, never a per-request device round trip.
             out, uv, dist = self._forward(
-                self._dcn.variables, jnp.asarray(frames),
+                self._variables, jnp.asarray(frames),
                 jnp.asarray(queries), jnp.asarray(valid))
             uv_h = np.asarray(uv) if valid.any() else None
             dist_h = np.asarray(dist) if valid.any() else None
-            self.stats["dispatches"] += 1
-            self.stats["frames"] += n
+            with self._stats_lock:
+                self.stats["dispatches"] += 1
+                self.stats["frames"] += n
             for i, req in enumerate(batch):
                 req.result = (out, i,
                               None if uv_h is None else uv_h[i],
@@ -296,15 +320,18 @@ class DescriptorServer:
 
     def _read_frame(self, header, rfile) -> np.ndarray:
         shape = header.get("shape")
+        # exact-width Python-int product — np.prod would wrap at int64 and a
+        # huge declared shape could slip a negative length past the cap
         if (not isinstance(shape, list) or len(shape) != 3
-                or not all(isinstance(x, int) and x > 0 for x in shape)
-                or int(np.prod(shape)) > self._MAX_PAYLOAD):
+                or not all(isinstance(x, int) and 0 < x <= self._MAX_PAYLOAD
+                           for x in shape)
+                or math.prod(shape) > self._MAX_PAYLOAD):
             # can't trust the declared length -> the stream is desynced;
             # _DesyncError closes the connection after the error response
             raise _DesyncError(f"bad shape: {shape!r}")
         # drain the declared payload FIRST so the connection stays usable
         # even when validation below rejects the request
-        nbytes = int(np.prod(shape))
+        nbytes = math.prod(shape)
         payload = rfile.read(nbytes)
         expect = [self._H, self._W, 3]
         if shape != expect:
@@ -315,7 +342,8 @@ class DescriptorServer:
 
     def _handle_request(self, header, rfile, wfile):
         op = header.get("op")
-        self.stats["requests"] += 1
+        with self._stats_lock:
+            self.stats["requests"] += 1
         if op == "ping":
             self._send(wfile, {"ok": True})
         elif op == "info":

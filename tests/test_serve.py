@@ -97,6 +97,42 @@ def test_error_paths(server):
         assert c.ping()
 
 
+def test_overflow_shape_rejected(server):
+    """int64-wrapping shape products must not bypass the payload cap."""
+    with _client(server) as c:
+        with pytest.raises(RuntimeError, match="bad shape"):
+            c._roundtrip({"op": "descriptors", "shape": [3, 2 ** 62, 1]})
+
+
+def test_non_power_of_two_max_batch(dcn):
+    """max_batch=12 clamps to the 8-bucket; overload must not wedge the
+    batcher (regression: frames array overflow killed the batcher thread)."""
+    s = DescriptorServer(dcn, port=0, max_batch=12, max_wait_ms=50.0)
+    assert s._max_batch == s._buckets[-1] == 8
+    s.start()
+    try:
+        host, port = s.address
+        results, errors = [None] * 16, []
+
+        def worker(i):
+            try:
+                with DescriptorClient(host, port) as c:
+                    results[i] = c.descriptors(_frame(100 + i))
+            except Exception as e:  # pragma: no cover
+                errors.append(e)
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(16)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors
+        assert all(r is not None for r in results)
+    finally:
+        s.shutdown()
+
+
 def test_concurrent_clients_microbatch(server, dcn):
     """8 concurrent clients: all answers correct, and the batcher coalesced
     them into fewer dispatches than requests."""

@@ -87,14 +87,22 @@ def main():
         for label, fn, arg in (("bf16", chain_bf16, ws),
                                ("int8_consumer", chain_consumer, wqs),
                                ("int8_producer", chain_producer, wqs)):
-            run = jax.jit(functools.partial(fn, ws=arg)) if label == "bf16" \
-                else jax.jit(functools.partial(fn, wqs=arg))
+            if label == "bf16":
+                run = functools.partial(fn, ws=arg)
+            else:
+                run = functools.partial(fn, wqs=arg)
             K = 10
 
             def scan_run(x):
+                # fold each iteration's output back into the carry so the
+                # chain cannot be hoisted out of the loop (keeps the scan
+                # honest — same guard as tpu_probe_int8_forward.py)
                 def body(c, _):
-                    return c, run(x)
-                _, vals = lax.scan(body, 0, None, length=K)
+                    s = run(c)
+                    c2 = c + (0.0 * s).astype(c.dtype)
+                    return c2, s
+
+                _, vals = lax.scan(body, x, None, length=K)
                 return jnp.sum(vals)
 
             scan_jit = jax.jit(scan_run)
