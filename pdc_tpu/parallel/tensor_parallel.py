@@ -97,6 +97,57 @@ def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = "data"):
     return jax.tree.map(rule, tree)
 
 
+def best_shard_axis(shape, n: int):
+    """The largest axis of ``shape`` divisible by ``n`` (None when none is) —
+    the per-leaf storage split both :func:`fsdp_shardings` (GSPMD layout)
+    and the manual shard_map ZeRO path in ``training/scanned.py`` use."""
+    for i in sorted(range(len(shape)), key=lambda j: -shape[j]):
+        if shape[i] % n == 0 and shape[i] >= n:
+            return i
+    return None
+
+
+def tree_shard_axes(tree: Any, n: int):
+    """Pytree of :func:`best_shard_axis` results for every leaf."""
+    return jax.tree.map(lambda l: best_shard_axis(jnp.shape(l), n), tree)
+
+
+def tree_shard_specs(tree: Any, n: int, axis_name: str):
+    """PartitionSpec pytree splitting every leaf on its
+    :func:`best_shard_axis` (for ``shard_map`` in/out_specs)."""
+
+    def spec(leaf):
+        shp = jnp.shape(leaf)
+        ax = best_shard_axis(shp, n)
+        if ax is None:
+            return P()
+        parts = [None] * len(shp)
+        parts[ax] = axis_name
+        return P(*parts)
+
+    return jax.tree.map(spec, tree)
+
+
+def tree_all_gather(tree: Any, axes: Any, axis_name: str):
+    """Reassemble full leaves from per-chip shards inside ``shard_map``
+    (tiled all-gather on each leaf's shard axis; replicated leaves pass
+    through)."""
+    return jax.tree.map(
+        lambda l, ax: l if ax is None else jax.lax.all_gather(
+            l, axis_name, axis=ax, tiled=True),
+        tree, axes)
+
+
+def tree_reduce_scatter_mean(tree: Any, axes: Any, axis_name: str, n: int):
+    """Cross-chip gradient mean, scattered back to each leaf's shard (the
+    ZeRO reduce-scatter; replicated leaves get a plain pmean)."""
+    return jax.tree.map(
+        lambda l, ax: (jax.lax.pmean(l, axis_name) if ax is None else
+                       jax.lax.psum_scatter(
+                           l, axis_name, scatter_dimension=ax, tiled=True) / n),
+        tree, axes)
+
+
 def sharded_size_bytes(tree: Any, shardings: Any) -> int:
     """Per-device bytes of ``tree`` under ``shardings`` (for memory docs)."""
     total = 0

@@ -360,7 +360,7 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
                                   assembler_cfg: AssemblerConfig,
                                   image_width: int, cache,
                                   batch_size: int, steps_per_dispatch: int,
-                                  type_probs=None):
+                                  type_probs=None, fsdp: bool = False):
     """Scanned DP training over a :class:`ShardedDeviceCache`.
 
     Unlike :func:`make_scanned_train_step`'s replicated DP path, the frame
@@ -374,6 +374,11 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     1 across-scene, 2 different-object} — build the cache with
     ``by_object=True`` so same-object scenes share a chip; shards with one
     object demote different-object draws to within-scene.
+
+    ``fsdp=True`` additionally shards the params + optimizer moments over
+    the same data axis (ZeRO — all-gather for compute, reduce-scatter for
+    gradients), composing the two 1/n memory stories: per-chip HBM holds
+    1/n of the dataset AND 1/n of the training state.
 
     Reference anchor: SURVEY §2c host-pipeline row (per-host sharded scene
     lists); the reference itself has no distributed path at all.
@@ -395,6 +400,22 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     mixed = type_probs is not None and any(t != 0 for t, p in type_probs if p > 0)
     if mixed:
         type_probs = tuple((t, p) for t, p in type_probs if p > 0)
+
+    p_axes = None
+    if fsdp:
+        from pdc_tpu.parallel.tensor_parallel import (
+            tree_all_gather,
+            tree_reduce_scatter_mean,
+            tree_shard_axes,
+        )
+
+        n_chips = mesh.shape[data_axis]
+        Hc, Wc = cache.rgb.shape[1:3]
+        v_shapes = jax.eval_shape(
+            lambda k: model.init(k, jnp.zeros((1, Hc, Wc, 3), jnp.float32),
+                                 train=False),
+            jax.random.PRNGKey(0))
+        p_axes = tree_shard_axes(v_shapes["params"], n_chips)
 
     def one_step(state, key, rgb, depth, mask, poses, Ks, perm, mcount,
                  offsets, lengths, num, by_obj, per_obj, num_obj):
@@ -441,10 +462,18 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
                 "K_2": jnp.take(Ks, fa2, axis=0),
             })
         img_a, img_b, indices = assemble_batch(k_assemble, batch, assembler_cfg)
+        # ZeRO: reassemble full params from the per-chip shards for compute;
+        # grads reduce-scatter straight back to the shards
+        params_full = (tree_all_gather(state.params, p_axes, data_axis)
+                       if fsdp else state.params)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, img_a, img_b, indices)
-        grads = jax.lax.pmean(grads, data_axis)
+        )(params_full, state.batch_stats, img_a, img_b, indices)
+        if fsdp:
+            grads = tree_reduce_scatter_mean(
+                grads, p_axes, data_axis, mesh.shape[data_axis])
+        else:
+            grads = jax.lax.pmean(grads, data_axis)
         new_stats = jax.lax.pmean(new_stats, data_axis)
         metrics = jax.lax.pmean(metrics, data_axis)
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
@@ -466,10 +495,23 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
 
     repl = P()
     sh = P(data_axis)
+    if fsdp:
+        from pdc_tpu.parallel.tensor_parallel import tree_shard_specs
+
+        state_specs = TrainState(
+            step=P(),
+            params=tree_shard_specs(v_shapes["params"], n_chips, data_axis),
+            batch_stats=jax.tree.map(lambda _: P(), v_shapes["batch_stats"]),
+            opt_state=tree_shard_specs(
+                jax.eval_shape(tx.init, v_shapes["params"]),
+                n_chips, data_axis),
+        )
+    else:
+        state_specs = repl
     specs = dict(
-        in_specs=(repl, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh,
-                  repl),
-        out_specs=(repl, repl),
+        in_specs=(state_specs, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh,
+                  sh, sh, repl),
+        out_specs=(state_specs, repl),
     )
     try:
         mapped = shard_map(multi_step, mesh=mesh, check_vma=False, **specs)
@@ -493,7 +535,7 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
                             assembler_cfg: AssemblerConfig, image_width: int,
                             cache, batch_size: int, steps_per_dispatch: int,
                             mesh=None, data_axis: str = "data",
-                            type_probs=None):
+                            type_probs=None, fsdp: bool = False):
     """Build step(state, key) -> (state, metrics dict of [K] arrays).
 
     ``cache`` is a :class:`pdc_tpu.data.device_cache.DeviceCache`.
@@ -510,6 +552,13 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
     GLOBAL batch is ``batch_size * n_chips``), computes local gradients, and
     the update uses a ``pmean`` over ICI — the scan composes with DP, so a
     pod runs K global steps per host dispatch.
+
+    With ``fsdp=True`` (requires ``mesh``) the params and optimizer moments
+    additionally live SHARDED over the data axis (ZeRO: 1/n state memory
+    per chip): each scanned step all-gathers the parameters for compute and
+    reduce-scatters the gradient mean back to the shards, so the Adam
+    update itself runs on 1/n of the elements per chip. Batch stats stay
+    replicated (they are KiB-sized and pmean-mixed every step).
     """
     has_smo = type_probs is not None and any(
         t == 4 and p > 0 for t, p in type_probs)
@@ -536,6 +585,23 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
         type_probs = tuple((t, p) for t, p in type_probs if p > 0)
 
     distributed = mesh is not None
+    if fsdp and not distributed:
+        raise ValueError("fsdp=True requires a mesh")
+    p_axes = None
+    if fsdp:
+        from pdc_tpu.parallel.tensor_parallel import (
+            tree_all_gather,
+            tree_reduce_scatter_mean,
+            tree_shard_axes,
+        )
+
+        n_chips = mesh.shape[data_axis]
+        Hc, Wc = cache.rgb.shape[1:3]
+        v_shapes = jax.eval_shape(
+            lambda k: model.init(k, jnp.zeros((1, Hc, Wc, 3), jnp.float32),
+                                 train=False),
+            jax.random.PRNGKey(0))
+        p_axes = tree_shard_axes(v_shapes["params"], n_chips)
 
     def one_step(carry, key, rgb, depth, mask):
         state = carry
@@ -589,10 +655,19 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
                 "count_b": jnp.take(cache.mask_count, fb, axis=0),
             })
         img_a, img_b, indices = assemble_batch(k_assemble, batch, assembler_cfg)
+        # ZeRO: reassemble full params from the per-chip shards for compute;
+        # grads reduce-scatter straight back to the shards
+        params_full = (tree_all_gather(state.params, p_axes, data_axis)
+                       if fsdp else state.params)
         (_, (new_stats, metrics)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
-        )(state.params, state.batch_stats, img_a, img_b, indices)
-        if distributed:
+        )(params_full, state.batch_stats, img_a, img_b, indices)
+        if fsdp:
+            grads = tree_reduce_scatter_mean(
+                grads, p_axes, data_axis, mesh.shape[data_axis])
+            new_stats = jax.lax.pmean(new_stats, data_axis)
+            metrics = jax.lax.pmean(metrics, data_axis)
+        elif distributed:
             grads = jax.lax.pmean(grads, data_axis)
             new_stats = jax.lax.pmean(new_stats, data_axis)
             metrics = jax.lax.pmean(metrics, data_axis)
@@ -616,24 +691,40 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
 
         return run
 
-    # DP: everything replicated; per-chip divergence comes from the key
-    # fold-in. shard_map keeps the collectives explicit and compile-checked.
+    # DP: everything replicated (or, with fsdp, the train state sharded
+    # per-leaf); per-chip divergence comes from the key fold-in. shard_map
+    # keeps the collectives explicit and compile-checked.
     from jax import shard_map
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = P()
+    if fsdp:
+        from pdc_tpu.parallel.tensor_parallel import tree_shard_specs
+
+        n_chips = mesh.shape[data_axis]
+        state_specs = TrainState(
+            step=P(),
+            params=tree_shard_specs(v_shapes["params"], n_chips, data_axis),
+            batch_stats=jax.tree.map(lambda _: P(),
+                                     v_shapes["batch_stats"]),
+            opt_state=tree_shard_specs(
+                jax.eval_shape(tx.init, v_shapes["params"]),
+                n_chips, data_axis),
+        )
+    else:
+        state_specs = repl
     try:
         mapped = shard_map(
             multi_step, mesh=mesh,
-            in_specs=(repl, repl, repl, repl, repl),
-            out_specs=(repl, repl),
+            in_specs=(state_specs, repl, repl, repl, repl),
+            out_specs=(state_specs, repl),
             check_vma=False,
         )
     except TypeError:  # older jax kwarg name
         mapped = shard_map(
             multi_step, mesh=mesh,
-            in_specs=(repl, repl, repl, repl, repl),
-            out_specs=(repl, repl),
+            in_specs=(state_specs, repl, repl, repl, repl),
+            out_specs=(state_specs, repl),
             check_rep=False,
         )
     jitted = jax.jit(mapped, donate_argnums=(0,))

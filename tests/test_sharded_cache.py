@@ -251,3 +251,55 @@ def test_sharded_cache_smo(dataset, mesh):
     losses = np.asarray(m["loss"])
     assert losses.shape == (2,)
     assert np.isfinite(losses).all()
+
+
+@pytest.mark.slow
+def test_sharded_cache_fsdp_matches_replicated(dataset, mesh):
+    """ZeRO (fsdp=True) on the sharded-cache path: the two 1/n memory
+    stories compose — per-chip HBM holds 1/n of the dataset AND 1/n of the
+    params + Adam moments — with step-1 loss identical to the
+    replicated-state path."""
+    from pdc_tpu.data.assembler import AssemblerConfig
+    from pdc_tpu.losses.pixelwise_contrastive import LossConfig
+    from pdc_tpu.models.dcn import build_backbone
+    from pdc_tpu.training.scanned import make_sharded_cache_train_step
+    from pdc_tpu.training.train import create_train_state
+
+    cache = ShardedDeviceCache.from_dataset(dataset, mesh)
+    config = {
+        "training": {"learning_rate": 1e-3, "learning_rate_decay": 0.9,
+                     "steps_between_learning_rate_decay": 250,
+                     "weight_decay": 1e-4},
+        "dense_correspondence_network": {
+            "descriptor_dimension": 3,
+            "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
+        },
+    }
+    model = build_backbone(config["dense_correspondence_network"])
+    acfg = AssemblerConfig(num_matching_attempts=64, masked_pool_size=32,
+                           background_pool_size=32, num_blind_samples=16)
+    state_a, tx = create_train_state(model, config, jax.random.PRNGKey(0), (H, W))
+    state_b, _ = create_train_state(model, config, jax.random.PRNGKey(0), (H, W))
+
+    step_repl = make_sharded_cache_train_step(
+        model, tx, LossConfig(), acfg, W, cache,
+        batch_size=1, steps_per_dispatch=2)
+    step_fsdp = make_sharded_cache_train_step(
+        model, tx, LossConfig(), acfg, W, cache,
+        batch_size=1, steps_per_dispatch=2, fsdp=True)
+
+    key = jax.random.PRNGKey(1)
+    s1, m1 = step_repl(state_a, key)
+    s2, m2 = step_fsdp(state_b, key)
+    l1 = np.asarray(m1["loss"])
+    l2 = np.asarray(m2["loss"])
+    np.testing.assert_allclose(l1[0], l2[0], rtol=1e-5)
+    np.testing.assert_allclose(l1, l2, rtol=2e-2)
+
+    big = max(jax.tree.leaves(s2.params), key=lambda l: l.size)
+    assert big.sharding.shard_shape(big.shape) != big.shape
+    opt_big = max(jax.tree.leaves(s2.opt_state), key=lambda l: l.size)
+    assert opt_big.sharding.shard_shape(opt_big.shape) != opt_big.shape
+
+    s2, m2b = step_fsdp(s2, jax.random.PRNGKey(2))
+    assert np.isfinite(np.asarray(m2b["loss"])).all()
