@@ -91,7 +91,10 @@ class DescriptorServer:
     :param mesh: optional ``jax.sharding.Mesh`` with a ``data`` axis — the
         coalesced batch is sharded over it (GSPMD splits the forward across
         chips over ICI), so one daemon saturates a whole slice. Batch
-        buckets become multiples of the axis size.
+        buckets become multiples of the axis size. A 2-D ``(data, model)``
+        mesh additionally shards conv channels over the ``model`` axis
+        (``parallel.tensor_parallel.channel_shardings``) for backbones too
+        large to replicate per chip.
     :param max_queries: per-request best-match query budget. Queries ride
         the SAME batched dispatch as the forward (one device round trip per
         coalesced batch, not per request), so the whole best_match path
@@ -128,11 +131,20 @@ class DescriptorServer:
         # checkpoint-restored variables are host numpy arrays; put them on
         # device ONCE (replicated across the mesh) so every dispatch doesn't
         # re-upload the full weight set
+        var_sh = None
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec
 
-            self._variables = jax.device_put(
-                dcn.variables, NamedSharding(mesh, PartitionSpec()))
+            if "model" in mesh.axis_names:
+                # 2-D (data, model) mesh: conv channels Megatron-column-
+                # sharded over the model axis — each chip stores and
+                # computes 1/n_model of every conv's output channels
+                from pdc_tpu.parallel.tensor_parallel import channel_shardings
+
+                var_sh = channel_shardings(dcn.variables, mesh, "model")
+            else:
+                var_sh = NamedSharding(mesh, PartitionSpec())
+            self._variables = jax.device_put(dcn.variables, var_sh)
         else:
             self._variables = jax.device_put(dcn.variables)
 
@@ -159,9 +171,8 @@ class DescriptorServer:
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            repl = NamedSharding(mesh, P())
             data = NamedSharding(mesh, P("data"))
-            forward = jax.jit(_fwd, in_shardings=(repl, data, data, data),
+            forward = jax.jit(_fwd, in_shardings=(var_sh, data, data, data),
                               out_shardings=(data, data, data))
         else:
             forward = jax.jit(_fwd)
@@ -480,6 +491,10 @@ def main(argv=None):
                    help="shard each coalesced batch over ALL local chips "
                         "(jax.sharding data-axis mesh); one daemon "
                         "saturates the slice")
+    p.add_argument("--model_parallel", type=int, default=0, metavar="N",
+                   help="also shard conv channels over an N-way model axis "
+                        "(2-D data x model mesh; N must divide the chip "
+                        "count) — for backbones too large per chip")
     p.add_argument("--iteration", type=int, default=None)
     args = p.parse_args(argv)
 
@@ -497,7 +512,18 @@ def main(argv=None):
         dcn = dcn.quantized()
 
     mesh = None
-    if args.data_parallel:
+    if args.model_parallel:
+        import jax
+
+        from pdc_tpu.parallel.mesh import make_mesh
+
+        n_dev = len(jax.devices())
+        m = args.model_parallel
+        if n_dev % m:
+            raise SystemExit(
+                f"--model_parallel {m} does not divide {n_dev} devices")
+        mesh = make_mesh(("data", "model"), shape=(n_dev // m, m))
+    elif args.data_parallel:
         from pdc_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh(("data",))

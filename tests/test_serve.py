@@ -163,6 +163,39 @@ def test_concurrent_clients_microbatch(server, dcn):
     assert dispatches < 8, "no cross-request batching happened"
 
 
+def test_model_parallel_server(dcn):
+    """A 2-D (data, model) mesh: batches sharded over data, conv channels
+    Megatron-column-sharded over model — answers must still match the
+    unsharded forward."""
+    import jax
+
+    from pdc_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(("data", "model"), shape=(2, 4))
+    s = DescriptorServer(dcn, port=0, max_batch=4, max_wait_ms=30.0,
+                         mesh=mesh)
+    assert all(b % 2 == 0 for b in s._buckets)
+    # the weights are actually stored channel-sharded
+    import jax as _jax
+    big = max(_jax.tree.leaves(s._variables), key=lambda l: l.size)
+    assert big.sharding.shard_shape(big.shape) != big.shape
+    s.start()
+    try:
+        frames = [_frame(90 + i) for i in range(3)]
+        expected = [np.asarray(dcn.forward_on_img(f)) for f in frames]
+        host, port = s.address
+        for f, want in zip(frames, expected):
+            with DescriptorClient(host, port) as c:
+                got = c.descriptors(f)
+            np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+    finally:
+        s.shutdown()
+
+
 def test_mesh_sharded_server(dcn):
     """mesh= shards each coalesced batch over the 8 virtual devices; answers
     must match the unsharded forward."""
