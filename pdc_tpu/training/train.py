@@ -466,9 +466,25 @@ class DenseCorrespondenceTraining:
                 if k_eff > 1 and scannable and assembler_cfg.use_matrix_loss:
                     from pdc_tpu.training.scanned import make_scanned_train_step
 
+                    # training.data_parallel: true -> DP over all local
+                    # chips (per-chip batch = batch_size, so the GLOBAL
+                    # batch is batch_size * n_chips); training.fsdp: true
+                    # additionally ZeRO-shards params + Adam moments
+                    mesh = None
+                    if t.get("data_parallel", False) and len(jax.devices()) > 1:
+                        from pdc_tpu.parallel.mesh import make_mesh
+
+                        mesh = make_mesh(("data",))
+                        logger.info(
+                            "data-parallel scanned training over %d chips "
+                            "(global batch %d)%s", mesh.shape["data"],
+                            self._batch_size * mesh.shape["data"],
+                            " + fsdp state sharding" if t.get("fsdp") else "")
                     scanned_step = make_scanned_train_step(
                         self._model, self._tx, loss_cfg, assembler_cfg, W,
                         cache, self._batch_size, k_eff,
+                        mesh=mesh,
+                        fsdp=bool(t.get("fsdp", False)) and mesh is not None,
                         type_probs=tuple(sorted(type_probs.items())),
                     )
                 else:
