@@ -36,15 +36,21 @@ def shard_host_batch(batch: dict, mesh: Mesh):
 
 def make_sharded_train_step(model, tx, loss_cfg: LossConfig,
                             assembler_cfg: AssemblerConfig, image_width: int,
-                            mesh: Mesh):
+                            mesh: Mesh, state_shardings=None,
+                            data_axis: str = "data"):
     """Jitted DP train step with explicit shardings.
 
-    Constraints: state replicated, batch sharded on axis 0, outputs
-    (state, metrics) replicated. XLA turns the loss/grad mean into psums over
-    the data axis.
+    Constraints: state replicated (or, with ``state_shardings`` — a pytree
+    of per-leaf ``NamedSharding`` as built by
+    :func:`pdc_tpu.parallel.tensor_parallel.channel_shardings` /
+    ``fsdp_shardings`` — sharded and donated), batch sharded on axis 0,
+    metrics replicated. XLA turns the loss/grad mean into psums over the
+    data axis and derives any all-gather/reduce-scatter schedule from the
+    state layout.
     """
     repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P("data"))
+    data = NamedSharding(mesh, P(data_axis))
+    st_sh = repl if state_shardings is None else state_shardings
 
     assemble_batch, compose_loss = pick_assembly(assembler_cfg)
     loss_fn = build_loss_fn(model, loss_cfg, image_width, compose_loss)
@@ -69,8 +75,12 @@ def make_sharded_train_step(model, tx, loss_cfg: LossConfig,
     }
     return jax.jit(
         step,
-        in_shardings=(repl, batch_shardings, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(st_sh, batch_shardings, repl),
+        out_shardings=(st_sh, repl),
+        # the sharded-state variants exist to SHRINK state memory — donate
+        # so old and new params/moments never coexist (replicated callers
+        # keep reusing their input state, so no donation there)
+        donate_argnums=(0,) if state_shardings is not None else (),
     )
 
 

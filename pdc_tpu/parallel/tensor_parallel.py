@@ -40,12 +40,11 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
-import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from pdc_tpu.data.assembler import AssemblerConfig
 from pdc_tpu.losses.pixelwise_contrastive import LossConfig
-from pdc_tpu.training.train import TrainState, build_loss_fn, pick_assembly
+from pdc_tpu.training.train import TrainState
 
 
 def channel_shardings(tree: Any, mesh: Mesh, axis: str = "model"):
@@ -71,8 +70,8 @@ def channel_shardings(tree: Any, mesh: Mesh, axis: str = "model"):
 
 
 def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = "data"):
-    """ZeRO-style storage shardings: every leaf is sharded on its largest
-    axis divisible by the mesh axis size (replicated when none is).
+    """ZeRO-style storage shardings: every leaf is sharded on its
+    :func:`best_shard_axis` (replicated when none is divisible).
 
     Unlike :func:`channel_shardings` this is purely a storage layout — XLA
     all-gathers leaves at their use sites and reduce-scatters gradients, so
@@ -83,11 +82,7 @@ def fsdp_shardings(tree: Any, mesh: Mesh, axis: str = "data"):
 
     def rule(leaf):
         shp = jnp.shape(leaf)
-        best = None
-        for i in sorted(range(len(shp)), key=lambda j: -shp[j]):
-            if shp[i] % n == 0 and shp[i] >= n:
-                best = i
-                break
+        best = best_shard_axis(shp, n)
         if best is None:
             return NamedSharding(mesh, P())
         spec = [None] * len(shp)
@@ -148,6 +143,32 @@ def tree_reduce_scatter_mean(tree: Any, axes: Any, axis_name: str, n: int):
         tree, axes)
 
 
+def scan_fsdp_setup(model, tx, mesh: Mesh, data_axis: str, image_hw):
+    """Shared setup for the scanned ZeRO paths in ``training/scanned.py``:
+    per-leaf shard axes for the manual all-gather/reduce-scatter, and the
+    ``shard_map`` state specs (params + optimizer moments sharded,
+    batch stats + step replicated). Derived from ``jax.eval_shape`` so no
+    concrete state is needed at factory time.
+
+    :return: ``(p_axes, state_specs)``.
+    """
+    n = mesh.shape[data_axis]
+    H, W = image_hw
+    v_shapes = jax.eval_shape(
+        lambda k: model.init(k, jnp.zeros((1, H, W, 3), jnp.float32),
+                             train=False),
+        jax.random.PRNGKey(0))
+    p_axes = tree_shard_axes(v_shapes["params"], n)
+    state_specs = TrainState(
+        step=P(),
+        params=tree_shard_specs(v_shapes["params"], n, data_axis),
+        batch_stats=jax.tree.map(lambda _: P(), v_shapes["batch_stats"]),
+        opt_state=tree_shard_specs(
+            jax.eval_shape(tx.init, v_shapes["params"]), n, data_axis),
+    )
+    return p_axes, state_specs
+
+
 def sharded_size_bytes(tree: Any, shardings: Any) -> int:
     """Per-device bytes of ``tree`` under ``shardings`` (for memory docs)."""
     total = 0
@@ -194,36 +215,14 @@ def _make_state_sharded_train_step(model, tx, loss_cfg: LossConfig,
                                    state: TrainState, state_shardings,
                                    data_axis: str):
     """Common core: DP over ``data_axis`` with the train state laid out per
-    ``state_shardings`` (channel-sharded for TP, storage-sharded for FSDP)."""
-    repl = NamedSharding(mesh, P())
-    data = NamedSharding(mesh, P(data_axis))
+    ``state_shardings`` (channel-sharded for TP, storage-sharded for FSDP).
+    The step body is the one DP step from
+    :func:`pdc_tpu.parallel.sharded_train.make_sharded_train_step`."""
+    from pdc_tpu.parallel.sharded_train import make_sharded_train_step
 
-    assemble_batch, compose_loss = pick_assembly(assembler_cfg)
-    loss_fn = build_loss_fn(model, loss_cfg, image_width, compose_loss)
-
-    def step(st: TrainState, batch, key):
-        img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)
-        (_, (new_stats, metrics)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True
-        )(st.params, st.batch_stats, img_a, img_b, indices)
-        updates, new_opt = tx.update(grads, st.opt_state, st.params)
-        new_params = optax.apply_updates(st.params, updates)
-        return TrainState(
-            step=st.step + 1, params=new_params,
-            batch_stats=new_stats, opt_state=new_opt,
-        ), metrics
-
-    batch_shardings = {
-        k: data for k in (
-            "match_type", "rgb_a", "depth_a", "mask_a", "pose_a",
-            "rgb_b", "depth_b", "mask_b", "pose_b", "K",
-        )
-    }
-    jitted = jax.jit(
-        step,
-        in_shardings=(state_shardings, batch_shardings, repl),
-        out_shardings=(state_shardings, repl),
-    )
+    jitted = make_sharded_train_step(
+        model, tx, loss_cfg, assembler_cfg, image_width, mesh,
+        state_shardings=state_shardings, data_axis=data_axis)
     return jitted, jax.device_put(state, state_shardings)
 
 
@@ -238,7 +237,10 @@ def make_tp_train_step(model, tx, loss_cfg: LossConfig,
     every conv's output channels and their Adam moments).
 
     :return: ``(jitted_step, sharded_state)`` — feed the returned state in;
-        the step keeps its output state in the same layout.
+        the step keeps its output state in the same layout. The step
+        DONATES its state input (and ``device_put`` may alias the original
+        buffers), so treat the passed-in ``state`` as consumed and always
+        continue from the returned one.
     """
     st_sh = channel_shardings(state, mesh, model_axis)
     return _make_state_sharded_train_step(
@@ -255,7 +257,9 @@ def make_fsdp_train_step(model, tx, loss_cfg: LossConfig,
     at use sites and reduce-scatters gradients — per-chip state memory is
     1/n of the replicated layout with identical numerics.
 
-    :return: ``(jitted_step, sharded_state)``.
+    :return: ``(jitted_step, sharded_state)`` — as with
+        :func:`make_tp_train_step`, the state input is donated; continue
+        from the returned state.
     """
     st_sh = fsdp_shardings(state, mesh, data_axis)
     return _make_state_sharded_train_step(

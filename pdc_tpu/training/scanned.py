@@ -404,18 +404,13 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
     p_axes = None
     if fsdp:
         from pdc_tpu.parallel.tensor_parallel import (
+            scan_fsdp_setup,
             tree_all_gather,
             tree_reduce_scatter_mean,
-            tree_shard_axes,
         )
 
-        n_chips = mesh.shape[data_axis]
-        Hc, Wc = cache.rgb.shape[1:3]
-        v_shapes = jax.eval_shape(
-            lambda k: model.init(k, jnp.zeros((1, Hc, Wc, 3), jnp.float32),
-                                 train=False),
-            jax.random.PRNGKey(0))
-        p_axes = tree_shard_axes(v_shapes["params"], n_chips)
+        p_axes, fsdp_state_specs = scan_fsdp_setup(
+            model, tx, mesh, data_axis, cache.rgb.shape[1:3])
 
     def one_step(state, key, rgb, depth, mask, poses, Ks, perm, mcount,
                  offsets, lengths, num, by_obj, per_obj, num_obj):
@@ -495,19 +490,7 @@ def make_sharded_cache_train_step(model, tx, loss_cfg: LossConfig,
 
     repl = P()
     sh = P(data_axis)
-    if fsdp:
-        from pdc_tpu.parallel.tensor_parallel import tree_shard_specs
-
-        state_specs = TrainState(
-            step=P(),
-            params=tree_shard_specs(v_shapes["params"], n_chips, data_axis),
-            batch_stats=jax.tree.map(lambda _: P(), v_shapes["batch_stats"]),
-            opt_state=tree_shard_specs(
-                jax.eval_shape(tx.init, v_shapes["params"]),
-                n_chips, data_axis),
-        )
-    else:
-        state_specs = repl
+    state_specs = fsdp_state_specs if fsdp else repl
     specs = dict(
         in_specs=(state_specs, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh, sh,
                   sh, sh, repl),
@@ -590,18 +573,13 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
     p_axes = None
     if fsdp:
         from pdc_tpu.parallel.tensor_parallel import (
+            scan_fsdp_setup,
             tree_all_gather,
             tree_reduce_scatter_mean,
-            tree_shard_axes,
         )
 
-        n_chips = mesh.shape[data_axis]
-        Hc, Wc = cache.rgb.shape[1:3]
-        v_shapes = jax.eval_shape(
-            lambda k: model.init(k, jnp.zeros((1, Hc, Wc, 3), jnp.float32),
-                                 train=False),
-            jax.random.PRNGKey(0))
-        p_axes = tree_shard_axes(v_shapes["params"], n_chips)
+        p_axes, fsdp_state_specs = scan_fsdp_setup(
+            model, tx, mesh, data_axis, cache.rgb.shape[1:3])
 
     def one_step(carry, key, rgb, depth, mask):
         state = carry
@@ -698,21 +676,7 @@ def make_scanned_train_step(model, tx, loss_cfg: LossConfig,
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     repl = P()
-    if fsdp:
-        from pdc_tpu.parallel.tensor_parallel import tree_shard_specs
-
-        n_chips = mesh.shape[data_axis]
-        state_specs = TrainState(
-            step=P(),
-            params=tree_shard_specs(v_shapes["params"], n_chips, data_axis),
-            batch_stats=jax.tree.map(lambda _: P(),
-                                     v_shapes["batch_stats"]),
-            opt_state=tree_shard_specs(
-                jax.eval_shape(tx.init, v_shapes["params"]),
-                n_chips, data_axis),
-        )
-    else:
-        state_specs = repl
+    state_specs = fsdp_state_specs if fsdp else repl
     try:
         mapped = shard_map(
             multi_step, mesh=mesh,

@@ -497,6 +497,16 @@ class DenseCorrespondenceTraining:
         if cache is None:
             train_step = make_train_step(self._model, self._tx, loss_cfg,
                                          assembler_cfg, W)
+        if scanned_step is None and (t.get("data_parallel") or t.get("fsdp")):
+            # never train single-chip while the user believes DP is on
+            logger.warning(
+                "training.data_parallel/fsdp IGNORED: multi-chip training "
+                "needs the device-cache scanned path (>1 device, matrix "
+                "loss, steps_per_dispatch divisor > 1, scannable sample "
+                "types) — this run is single-chip")
+        elif t.get("fsdp") and not t.get("data_parallel"):
+            logger.warning(
+                "training.fsdp IGNORED: requires training.data_parallel")
 
         eval_step = None
         if t.get("compute_test_loss", False) and self._dataset_test is not None:

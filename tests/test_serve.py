@@ -175,13 +175,13 @@ def test_model_parallel_server(dcn):
         import pytest
 
         pytest.skip("needs 8 virtual devices")
-    mesh = make_mesh(("data", "model"), shape=(2, 4))
+    mesh = make_mesh(("data", "model"), shape=(2, 4),
+                     devices=jax.devices()[:8])
     s = DescriptorServer(dcn, port=0, max_batch=4, max_wait_ms=30.0,
                          mesh=mesh)
     assert all(b % 2 == 0 for b in s._buckets)
     # the weights are actually stored channel-sharded
-    import jax as _jax
-    big = max(_jax.tree.leaves(s._variables), key=lambda l: l.size)
+    big = max(jax.tree.leaves(s._variables), key=lambda l: l.size)
     assert big.sharding.shard_shape(big.shape) != big.shape
     s.start()
     try:

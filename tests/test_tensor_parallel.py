@@ -149,7 +149,10 @@ def test_state_sharded_step_matches_replicated(mode):
     else:
         mesh = make_mesh(("data",))
         B = 8
+    # two identically-seeded states: the TP/FSDP factories donate their
+    # state (device_put may alias buffers, so the input state is consumed)
     model, state, tx = _model_and_state(sgd=True)
+    _, state_b, _ = _model_and_state(sgd=True)
     batch = shard_host_batch(_tiny_batch(B), mesh)
     key = jax.random.PRNGKey(3)
 
@@ -158,10 +161,10 @@ def test_state_sharded_step_matches_replicated(mode):
 
     if mode == "tp":
         step, state_sh = make_tp_train_step(
-            model, tx, LossConfig(), ACFG, W, mesh, state)
+            model, tx, LossConfig(), ACFG, W, mesh, state_b)
     else:
         step, state_sh = make_fsdp_train_step(
-            model, tx, LossConfig(), ACFG, W, mesh, state)
+            model, tx, LossConfig(), ACFG, W, mesh, state_b)
     new_state, metrics = step(state_sh, batch, key)
 
     np.testing.assert_allclose(
