@@ -53,6 +53,12 @@ def _cmd_train(argv):
                    help="parent dir for model folders (default trained_models)")
     p.add_argument("--num_iterations", type=int, default=None,
                    help="override training.num_iterations")
+    p.add_argument("--data_parallel", action="store_true",
+                   help="DP over all local chips (training.data_parallel; "
+                        "global batch = batch_size * n_chips)")
+    p.add_argument("--fsdp", action="store_true",
+                   help="with --data_parallel: ZeRO-shard params + Adam "
+                        "moments over the chips (training.fsdp)")
     args = p.parse_args(argv)
 
     import os
@@ -71,6 +77,10 @@ def _cmd_train(argv):
         config["training"]["logging_dir"] = args.logging_dir
     if args.num_iterations is not None:
         config["training"]["num_iterations"] = args.num_iterations
+    if args.data_parallel:
+        config["training"]["data_parallel"] = True
+    if args.fsdp:
+        config["training"]["fsdp"] = True
     dataset = SpartanDataset(
         config=load_yaml(args.dataset_config), data_dir=args.data_dir,
         config_dir=os.path.dirname(os.path.abspath(args.dataset_config)))
