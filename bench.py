@@ -123,4 +123,21 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import sys
+
+    try:
+        main()
+    except RuntimeError as e:
+        # the axon tunnel occasionally stalls/drops for minutes (CLAUDE.md
+        # gotcha); backend-init failure is cached in-process, so retry via
+        # re-exec with a bounded attempt counter
+        attempts = int(os.environ.get("PDC_BENCH_ATTEMPT", "0"))
+        if "Unable to initialize backend" in str(e) and attempts < 4:
+            print(f"bench: TPU backend unavailable "
+                  f"(attempt {attempts + 1}/5), retrying in 90 s: {e}",
+                  file=sys.stderr)
+            time.sleep(90)
+            os.environ["PDC_BENCH_ATTEMPT"] = str(attempts + 1)
+            os.execv(sys.executable, [sys.executable] + sys.argv)
+        raise
