@@ -27,7 +27,11 @@ Design (TPU-first):
   only its own frame's slice.
 - int8 PTQ serving plugs in unchanged: ``--int8`` (dynamic scales) /
   ``--int8_static`` (calibrated scales, fastest — 1406 vs 829 img/s at
-  B=256 on v5e; see BENCHMARKS.md).
+  B=256 on v5e; see BENCHMARKS.md). Prefer ``--int8_static`` for a daemon:
+  dynamic per-tensor scales depend on everything co-batched into a bucket
+  (including zero-pad rows, which normalize to ``-mean/std``), so a
+  frame's dynamic-int8 descriptors vary slightly with batch composition;
+  calibrated scales make serving deterministic per frame.
 
 Wire protocol (one TCP connection serves many requests):
   request  = JSON header line ending in ``\\n``, then ``payload_len`` raw

@@ -243,3 +243,35 @@ def test_quantized_serving_clone(dcn):
         assert cos > 0.99, cos
     finally:
         s.shutdown()
+
+
+def test_model_parallel_int8_server(dcn):
+    """The int8 serving clone composes with --model_parallel: quantized
+    convs run with channel-sharded weights (quant scales replicate) and
+    still agree with the clone's own unsharded forward. Uses the STATIC
+    calibrated clone — dynamic per-tensor scales change under the server's
+    bucket padding (pad rows normalize to -mean/std, which can raise the
+    batch abs-max), so only calibrated scales make serving
+    padding-invariant; that is unrelated to model parallelism."""
+    import jax
+
+    from pdc_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs 8 virtual devices")
+    q = dcn.calibrate_quantization([_frame(7), _frame(8)])
+    mesh = make_mesh(("data", "model"), shape=(2, 4),
+                     devices=jax.devices()[:8])
+    s = DescriptorServer(q, port=0, max_batch=2, max_wait_ms=20.0, mesh=mesh)
+    s.start()
+    try:
+        rgb = _frame(123)
+        want = np.asarray(q.forward_on_img(rgb))
+        host, port = s.address
+        with DescriptorClient(host, port) as c:
+            got = c.descriptors(rgb)
+        np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
+    finally:
+        s.shutdown()

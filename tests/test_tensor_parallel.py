@@ -190,3 +190,25 @@ def test_state_sharded_step_matches_replicated(mode):
             continue
         assert np.linalg.norm(du_got - du_ref) / n_ref < 0.06
     assert int(new_state.step) == int(state.step) + 1
+
+
+def test_tp_inference_unet_backbone():
+    """channel_shardings is architecture-generic: the UNet backbone's convs
+    (incl. transposed up-projections) shard the same way; TP forward equals
+    the replicated forward."""
+    mesh = make_mesh(("data", "model"), shape=(2, 4),
+                     devices=jax.devices()[:8])
+    model = build_backbone({
+        "descriptor_dimension": 3,
+        "backbone": {"model_class": "Unet"},
+    })
+    x = jnp.asarray(
+        np.random.RandomState(2).rand(2, H, W, 3).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(1), x, train=False)
+
+    expect = model.apply(variables, x, train=False)
+    fwd, variables_sh = make_tp_inference(model, mesh, data_axis="data")(variables)
+    got = fwd(variables_sh, jax.device_put(
+        x, jax.sharding.NamedSharding(mesh, P("data"))))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(expect), rtol=1e-4, atol=1e-5)
