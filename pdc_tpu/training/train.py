@@ -23,6 +23,8 @@ from __future__ import annotations
 import datetime
 import logging
 import os
+import signal
+import threading
 import time
 import uuid
 from typing import Any, Optional
@@ -545,66 +547,95 @@ class DenseCorrespondenceTraining:
                     lambda: self._dataset.make_host_batch(self._batch_size), depth=2
                 )
 
+        # Graceful preemption (SURVEY.md §5 failure handling; the reference
+        # loses up to save_rate steps on eviction). Preemptible/spot TPU VMs
+        # deliver SIGTERM ahead of shutdown: flag it, finish the in-flight
+        # dispatch, write a checkpoint at the step boundary, and return
+        # cleanly — a restarted job resumes via run_from_pretrained. The
+        # handler only sets a flag, so it is async-signal safe; installed
+        # only from the main thread (signal.signal requires it) and restored
+        # on exit so callers/tests keep their own handlers.
+        self.preempted = False
+        self._preempt_requested = False
+        _old_sigterm = None
+        if (bool(t.get("handle_preemption", True))
+                and threading.current_thread() is threading.main_thread()):
+            def _request_preempt(signum, frame):
+                self._preempt_requested = True
+            _old_sigterm = signal.signal(signal.SIGTERM, _request_preempt)
+
         metric_keys = ("loss", "match_loss", "masked_non_match_loss",
                        "background_non_match_loss", "blind_non_match_loss")
         it = loss_current_iteration
-        while it < max_iterations:
-            if profile_dir and it == loss_current_iteration + 1 and not profiling:
-                jax.profiler.start_trace(profile_dir)
-                profiling = True
-            if profiling and it >= loss_current_iteration + 1 + profile_steps:
-                jax.profiler.stop_trace()
-                profiling = False
-            t0 = time.time()
-            key, step_key = jax.random.split(key)
-            tl = self._logging_dict["train"]
-            if scanned_step is not None:
-                # K steps per dispatch, sampling on device; the [K] metric
-                # arrays are queued whole and fetched in one batch at logging
-                # boundaries (per-element fetches cost a round trip each)
-                self._state, metrics = scanned_step(self._state, step_key)
-                k_steps = int(metrics["loss"].shape[0])
-                self._pending_metrics.append((metrics, k_steps))
-                for j in range(k_steps):
+        try:
+            while it < max_iterations:
+                if profile_dir and it == loss_current_iteration + 1 and not profiling:
+                    jax.profiler.start_trace(profile_dir)
+                    profiling = True
+                if profiling and it >= loss_current_iteration + 1 + profile_steps:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                t0 = time.time()
+                key, step_key = jax.random.split(key)
+                tl = self._logging_dict["train"]
+                if scanned_step is not None:
+                    # K steps per dispatch, sampling on device; the [K] metric
+                    # arrays are queued whole and fetched in one batch at logging
+                    # boundaries (per-element fetches cost a round trip each)
+                    self._state, metrics = scanned_step(self._state, step_key)
+                    k_steps = int(metrics["loss"].shape[0])
+                    self._pending_metrics.append((metrics, k_steps))
+                    for j in range(k_steps):
+                        it += 1
+                        tl["iteration"].append(it)
+                        tl["learning_rate"].append(host_lr(self._config, it))
+                else:
                     it += 1
+                    batch = prefetch.next()
+                    self._state, metrics = train_step(self._state, batch, step_key)
+                    self._pending_metrics.append((metrics, 1))
                     tl["iteration"].append(it)
                     tl["learning_rate"].append(host_lr(self._config, it))
-            else:
-                it += 1
-                batch = prefetch.next()
-                self._state, metrics = train_step(self._state, batch, step_key)
-                self._pending_metrics.append((metrics, 1))
-                tl["iteration"].append(it)
-                tl["learning_rate"].append(host_lr(self._config, it))
-            elapsed = time.time() - t0
+                elapsed = time.time() - t0
 
-            if progress_callback is not None:
-                progress_callback(it, metrics)
+                if progress_callback is not None:
+                    progress_callback(it, metrics)
 
-            if it % logging_rate == 0:
-                self._materialize_metrics()
-                self._flush_tensorboard(it)
-                logger.info(
-                    "iter %d/%d loss=%.4f match=%.4f (%.3fs/iter)",
-                    it, max_iterations, tl["loss"][-1], tl["match_loss"][-1],
-                    elapsed,
-                )
+                if self._preempt_requested and it < max_iterations:
+                    logger.warning(
+                        "SIGTERM received: writing preemption checkpoint at "
+                        "iteration %d and exiting cleanly (resume with "
+                        "run_from_pretrained)", it)
+                    self.preempted = True
+                    break
 
-            if it % save_rate == 0:
-                self._materialize_metrics()
-                self.save_network(it)
+                if it % logging_rate == 0:
+                    self._materialize_metrics()
+                    self._flush_tensorboard(it)
+                    logger.info(
+                        "iter %d/%d loss=%.4f match=%.4f (%.3fs/iter)",
+                        it, max_iterations, tl["loss"][-1], tl["match_loss"][-1],
+                        elapsed,
+                    )
 
-            if (eval_step is not None and test_rate > 0
-                    and it % test_rate == 0 and it > 5):
-                test_metrics = []
-                for _ in range(int(t.get("test_loss_num_iterations", 50)) // max(self._batch_size, 1) or 1):
-                    key, ek = jax.random.split(key)
-                    tb = self._dataset_test.make_host_batch(self._batch_size)
-                    test_metrics.append(jax.device_get(eval_step(self._state, tb, ek)))
-                te = self._logging_dict["test"]
-                te["iteration"].append(it)
-                for k in ("loss", "match_loss", "non_match_loss"):
-                    te[k].append(float(np.mean([m[k] for m in test_metrics])))
+                if it % save_rate == 0:
+                    self._materialize_metrics()
+                    self.save_network(it)
+
+                if (eval_step is not None and test_rate > 0
+                        and it % test_rate == 0 and it > 5):
+                    test_metrics = []
+                    for _ in range(int(t.get("test_loss_num_iterations", 50)) // max(self._batch_size, 1) or 1):
+                        key, ek = jax.random.split(key)
+                        tb = self._dataset_test.make_host_batch(self._batch_size)
+                        test_metrics.append(jax.device_get(eval_step(self._state, tb, ek)))
+                    te = self._logging_dict["test"]
+                    te["iteration"].append(it)
+                    for k in ("loss", "match_loss", "non_match_loss"):
+                        te[k].append(float(np.mean([m[k] for m in test_metrics])))
+        finally:
+            if _old_sigterm is not None:
+                signal.signal(signal.SIGTERM, _old_sigterm)
 
         if prefetch is not None:
             prefetch.stop()
