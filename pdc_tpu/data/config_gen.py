@@ -142,6 +142,84 @@ def generate_dataset_configs(data_dir: str, out_dir: str,
     return result
 
 
+def write_published_corpus(out_dir: str) -> dict:
+    """Write the config corpus for the PUBLISHED pdc dataset from the
+    shipped manifest (:mod:`pdc_tpu.data.published_manifest`): every
+    single-object / multi-object scene list and every composite the
+    reference's experiment notebooks load by name
+    (``caterpillar_only.yaml``, ``shoe_train_all_shoes.yaml``, ...), in the
+    exact schema ``SpartanDataset`` consumes. Users holding the published
+    dataset get a verbatim-compatible corpus; users with their own captures
+    use :func:`generate_dataset_configs` instead.
+
+    :return: {"single_object": N, "multi_object": N, "composite": N,
+              "out_dir": out_dir}
+    """
+    from pdc_tpu.data.published_manifest import (
+        COMPOSITES,
+        MULTI_OBJECT_SCENE_LISTS,
+        SINGLE_OBJECT_SCENE_LISTS,
+    )
+
+    def write_scene_lists(lists: dict, sub: str):
+        d = os.path.join(out_dir, sub)
+        os.makedirs(d, exist_ok=True)
+        for name, spec in lists.items():
+            cfg = {
+                "logs_root_path": spec["logs_root_path"],
+                "object_id": spec["object_id"],
+                "train": list(spec["train"]),
+                "test": list(spec["test"]),
+            }
+            if spec.get("evaluation_labeled_data_path"):
+                cfg["evaluation_labeled_data_path"] = list(
+                    spec["evaluation_labeled_data_path"])
+            save_yaml(cfg, os.path.join(d, f"{name}.yaml"))
+
+    write_scene_lists(SINGLE_OBJECT_SCENE_LISTS, "single_object")
+    write_scene_lists(MULTI_OBJECT_SCENE_LISTS, "multi_object")
+
+    comp_dir = os.path.join(out_dir, "composite")
+    os.makedirs(comp_dir, exist_ok=True)
+    for name, spec in COMPOSITES.items():
+        cfg = {
+            "logs_root_path": spec["logs_root_path"],
+            "single_object_scenes_config_files":
+                [f"{e}.yaml" for e in spec["single_object"]],
+            "multi_object_scenes_config_files":
+                [f"{e}.yaml" for e in spec["multi_object"]],
+        }
+        save_yaml(cfg, os.path.join(comp_dir, f"{name}.yaml"))
+    return {"single_object": len(SINGLE_OBJECT_SCENE_LISTS),
+            "multi_object": len(MULTI_OBJECT_SCENE_LISTS),
+            "composite": len(COMPOSITES), "out_dir": out_dir}
+
+
+def resolve_scene_list_path(scene_cfg_file: str, config_dir: Optional[str]) -> str:
+    """Resolve a scene-list reference from a composite config to a path.
+
+    Composites in the published corpus name their scene lists bare
+    (``caterpillar_17_scenes.yaml``) and the lists live in ``single_object/``
+    / ``multi_object/`` siblings of ``composite/`` under the corpus root
+    (reference ``spartan_dataset_masked.py:165-176`` resolves against the
+    corpus root; older hand-written composites use explicit relative paths).
+    Resolution order: absolute as-is; then ``config_dir`` itself; then —
+    when ``config_dir`` points at the ``composite/`` subdir — the corpus
+    root and its ``single_object/`` + ``multi_object/`` subdirs. Returns the
+    first existing candidate (or the ``config_dir`` join when none exists,
+    so the caller's error names the natural path)."""
+    if config_dir is None or os.path.isabs(scene_cfg_file):
+        return scene_cfg_file
+    root = os.path.dirname(config_dir.rstrip(os.sep))
+    candidates = [
+        os.path.join(config_dir, scene_cfg_file),
+        os.path.join(root, scene_cfg_file),
+        os.path.join(root, "single_object", scene_cfg_file),
+        os.path.join(root, "multi_object", scene_cfg_file),
+    ]
+    return next((c for c in candidates if os.path.exists(c)), candidates[0])
+
+
 def scene_names_in_composite(composite: dict, config_dir: str) -> List[str]:
     """All scene names (train + test, single + multi object) referenced by a
     composite dataset config, without loading any frames."""
@@ -149,7 +227,7 @@ def scene_names_in_composite(composite: dict, config_dir: str) -> List[str]:
     for key in ("single_object_scenes_config_files",
                 "multi_object_scenes_config_files"):
         for f in composite.get(key, []):
-            path = f if os.path.isabs(f) else os.path.join(config_dir, f)
+            path = resolve_scene_list_path(f, config_dir)
             sc = load_yaml(path)
             for split in ("train", "test"):
                 names.extend(sc.get(split, []))
@@ -187,7 +265,10 @@ def copy_dataset_scenes(composite: dict, config_dir: str, data_dir: str,
 
 def main(argv=None):  # pragma: no cover - thin CLI over the above
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    p.add_argument("--data_dir", required=True,
+    p.add_argument("--published", action="store_true",
+                   help="write the corpus for the PUBLISHED pdc dataset "
+                        "from the shipped manifest (no data_dir needed)")
+    p.add_argument("--data_dir", default=None,
                    help="pdc data root (holds logs_proto/)")
     p.add_argument("--out_dir", required=True,
                    help="where to write single_object/ + composite/ YAMLs")
@@ -200,6 +281,16 @@ def main(argv=None):  # pragma: no cover - thin CLI over the above
     p.add_argument("--test_fraction", type=float, default=0.2)
     p.add_argument("--logs_root", default="logs_proto")
     args = p.parse_args(argv)
+
+    if args.published:
+        res = write_published_corpus(args.out_dir)
+        print(f"published corpus -> {res['out_dir']}: "
+              f"{res['single_object']} single-object + "
+              f"{res['multi_object']} multi-object scene lists, "
+              f"{res['composite']} composites")
+        return
+    if args.data_dir is None:
+        p.error("--data_dir is required unless --published is given")
 
     object_of = load_yaml(args.objects) if args.objects else None
     multi = args.multi_object_ids.split(",") if args.multi_object_ids else None

@@ -273,19 +273,9 @@ class SpartanDataset:
         split_key = mode or self.mode  # 'train' or 'test'
 
         def load_scene_list(scene_cfg_file, multi_object):
-            path = scene_cfg_file
-            if config_dir is not None and not os.path.isabs(path):
-                path = os.path.join(config_dir, path)
-                if not os.path.exists(path):
-                    # composite YAMLs reference sibling dirs (single_object/,
-                    # multi_object/) relative to the config corpus ROOT; when
-                    # config_dir points at the composite/ subdir itself (e.g.
-                    # a CLI passing dirname(composite.yaml)), resolve against
-                    # the parent.
-                    parent = os.path.join(os.path.dirname(config_dir.rstrip(os.sep)),
-                                          scene_cfg_file)
-                    if os.path.exists(parent):
-                        path = parent
+            from pdc_tpu.data.config_gen import resolve_scene_list_path
+
+            path = resolve_scene_list_path(scene_cfg_file, config_dir)
             sc = load_yaml(path)
             object_id = sc.get("object_id", os.path.splitext(os.path.basename(path))[0])
             for scene_name in sc.get(split_key, sc.get("scenes", [])):

@@ -23,8 +23,9 @@ def scene_urls_from_composite_config(config: dict, config_dir: Optional[str] = N
     urls = []
     for key in ("single_object_scenes_config_files", "multi_object_scenes_config_files"):
         for f in config.get(key, []):
-            path = f if config_dir is None or os.path.isabs(f) else os.path.join(config_dir, f)
-            sc = load_yaml(path)
+            from pdc_tpu.data.config_gen import resolve_scene_list_path
+
+            sc = load_yaml(resolve_scene_list_path(f, config_dir))
             for split in ("train", "test"):
                 for scene in sc.get(split, []):
                     urls.append(BASE_URL + "logs_proto_compressed/" + scene + ".tar.gz")

@@ -121,3 +121,87 @@ def test_optimizer_and_schedule_from_reference():
     assert host_lr(REFERENCE_STYLE_CONFIG, 0) == 1e-4
     assert abs(host_lr(REFERENCE_STYLE_CONFIG, 250) - 0.9e-4) < 1e-12
     assert abs(host_lr(REFERENCE_STYLE_CONFIG, 999) - 0.9**3 * 1e-4) < 1e-12
+
+
+# -- published config corpus (configs/dataset/**, VERDICT r3 item 4) ---------------
+
+
+def test_published_corpus_integrity():
+    """Every committed composite loads, and every scene list it references
+    exists with a valid train/test schema — so a user holding the published
+    pdc dataset can pass reference composite names verbatim."""
+    import os
+
+    from pdc_tpu.utils.yaml_io import load_yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "dataset")
+    comp_dir = os.path.join(root, "composite")
+    composites = sorted(f for f in os.listdir(comp_dir) if f.endswith(".yaml"))
+    assert len(composites) >= 36, composites
+    # the names the reference experiment notebooks load verbatim
+    for required in ("caterpillar_only.yaml", "shoe_train_all_shoes.yaml",
+                     "caterpillar_upright.yaml", "baymax_front_only.yaml",
+                     "star_bot_front_only.yaml", "hat_train_6.yaml",
+                     "mugs_all.yaml", "entire_dataset.yaml",
+                     "caterpillar_baymax_starbot_all_front_single_only.yaml"):
+        assert required in composites, required
+
+    for name in composites:
+        comp = load_yaml(os.path.join(comp_dir, name))
+        assert "logs_root_path" in comp, name
+        refs = (comp.get("single_object_scenes_config_files") or []) + (
+            comp.get("multi_object_scenes_config_files") or [])
+        assert refs, f"{name} references no scene lists"
+        for ref in refs:
+            found = [p for p in (
+                os.path.join(root, "single_object", ref),
+                os.path.join(root, "multi_object", ref),
+            ) if os.path.exists(p)]
+            assert found, f"{name} -> {ref} unresolved"
+            sc = load_yaml(found[0])
+            assert isinstance(sc.get("train"), list), f"{ref}: no train list"
+            assert isinstance(sc.get("test"), list), f"{ref}: no test list"
+            assert sc.get("object_id"), f"{ref}: no object_id"
+
+
+def test_published_composite_loads_through_dataset(tmp_path):
+    """A reference composite drives SpartanDataset end to end over a
+    real-layout data root (one published caterpillar scene name, miniature
+    frames) — the corpus is live config, not documentation."""
+    import os
+
+    from pdc_tpu.data.dataset import SpartanDataset
+    from pdc_tpu.utils.yaml_io import load_yaml, save_yaml
+    from tests.fixtures.real_layout import write_miniature_scene
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "dataset")
+    comp = load_yaml(os.path.join(root, "composite", "caterpillar_only.yaml"))
+    sc_path = os.path.join(root, "single_object",
+                           comp["single_object_scenes_config_files"][0])
+    scene_list = load_yaml(sc_path)
+
+    # keep one train + one test scene (miniature frames are enough to prove
+    # the load path; the full corpus is covered by the integrity test)
+    small = dict(scene_list)
+    small["train"] = scene_list["train"][:1]
+    small["test"] = scene_list["test"][:1]
+    cfg_dir = tmp_path / "config"
+    (cfg_dir / "single_object").mkdir(parents=True)
+    (cfg_dir / "composite").mkdir()
+    save_yaml(small, str(cfg_dir / "single_object" /
+                         comp["single_object_scenes_config_files"][0]))
+    save_yaml(comp, str(cfg_dir / "composite" / "caterpillar_only.yaml"))
+
+    data_dir = tmp_path / "pdc"
+    for scene in small["train"] + small["test"]:
+        write_miniature_scene(
+            os.path.join(str(data_dir), "logs_proto", scene, "processed"))
+
+    ds = SpartanDataset(
+        config=load_yaml(str(cfg_dir / "composite" / "caterpillar_only.yaml")),
+        data_dir=str(data_dir), config_dir=str(cfg_dir / "composite"))
+    assert ds.num_scenes == 1  # train mode
+    pair = ds.sample_pair()
+    assert pair.rgb_a.ndim == 3
+    ds.set_test_mode()
+    assert ds.get_random_scene_name() == small["test"][0]
