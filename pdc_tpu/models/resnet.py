@@ -12,8 +12,11 @@ TPU-first details:
   * NHWC layout throughout (native for TPU convolutions)
   * optional bfloat16 compute with float32 params and batch stats
   * the upsample is ``jax.image.resize`` (XLA lowers this to efficient
-    gather/matmul patterns); a fused Pallas upsample+L2-normalize epilogue
-    lives in :mod:`pdc_tpu.ops.pallas_kernels`
+    gather/matmul patterns); head + x8 resize measure ~4 ms of a 310 ms
+    B=256 serving batch (tools/tpu_probe_stages.py), so no custom kernel
+    is warranted there — the Pallas kernels live where the FLOPs/bytes
+    are (:mod:`pdc_tpu.ops.pallas_kernels` best-match streaming argmin,
+    :mod:`pdc_tpu.ops.pallas_loss` fused pooled-hinge)
 """
 
 from __future__ import annotations
