@@ -59,6 +59,14 @@ def _cmd_train(argv):
     p.add_argument("--fsdp", action="store_true",
                    help="with --data_parallel: ZeRO-shard params + Adam "
                         "moments over the chips (training.fsdp)")
+    p.add_argument("--tensor_parallel", type=int, default=None, metavar="N",
+                   help="channel-shard the network over N chips "
+                        "(training.tensor_parallel); remaining chips form "
+                        "a leading data axis")
+    p.add_argument("--pipeline", type=int, default=None, metavar="S",
+                   help="GPipe-pipeline the network over S stages "
+                        "(training.pipeline; frozen-BN semantics); "
+                        "remaining chips form a leading data axis")
     args = p.parse_args(argv)
 
     import os
@@ -81,6 +89,10 @@ def _cmd_train(argv):
         config["training"]["data_parallel"] = True
     if args.fsdp:
         config["training"]["fsdp"] = True
+    if args.tensor_parallel is not None:
+        config["training"]["tensor_parallel"] = args.tensor_parallel
+    if args.pipeline is not None:
+        config["training"]["pipeline"] = args.pipeline
     dataset = SpartanDataset(
         config=load_yaml(args.dataset_config), data_dir=args.data_dir,
         config_dir=os.path.dirname(os.path.abspath(args.dataset_config)))

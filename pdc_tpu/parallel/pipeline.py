@@ -476,9 +476,17 @@ def make_pp_train_step(model, tx, loss_cfg, assembler_cfg, image_width: int,
         non_empty = (indices.match_type >= 0).astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(non_empty), 1.0)
         loss = jnp.sum(terms.loss * non_empty) / denom
+        def avg(x):
+            return jnp.sum(x * non_empty) / denom
+
+        # full metric-key set so the trainer's logging/TB path is layout-
+        # agnostic (training/train.py _materialize_metrics)
         metrics = {
             "loss": loss,
-            "match_loss": jnp.sum(terms.match_loss * non_empty) / denom,
+            "match_loss": avg(terms.match_loss),
+            "masked_non_match_loss": avg(terms.masked_non_match_loss),
+            "background_non_match_loss": avg(terms.background_non_match_loss),
+            "blind_non_match_loss": avg(terms.blind_non_match_loss),
             "num_valid_matches": jnp.sum(indices.matches_valid) / denom,
         }
         return loss, metrics

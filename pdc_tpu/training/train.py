@@ -324,6 +324,18 @@ class DenseCorrespondenceTraining:
 
     # -- checkpointing --------------------------------------------------------------
 
+    def _current_variables(self):
+        """The live ``{params, batch_stats}`` in the standard Flax layout —
+        unpacking the stage-stacked pipeline representation when the run is
+        pipelined, so the on-disk checkpoint contract is identical across
+        every parallelism mode."""
+        if getattr(self, "_pp_meta", None) is not None:
+            from pdc_tpu.parallel.pipeline import unpack_pipeline_variables
+
+            return unpack_pipeline_variables(self._state.pack, self._pp_meta)
+        return {"params": self._state.params,
+                "batch_stats": self._state.batch_stats}
+
     def save_network(self, iteration: int):
         """%06d.ckpt (params+batch_stats) + %06d.ckpt.opt (optimizer) +
         rolling loss.yaml (reference training.py:501-521).
@@ -333,7 +345,7 @@ class DenseCorrespondenceTraining:
         TPU runtime must not lose a long run.
         """
         tag = "%06d" % iteration
-        variables = {"params": self._state.params, "batch_stats": self._state.batch_stats}
+        variables = self._current_variables()
 
         def write_atomic(path, pytree):
             for attempt in (0, 1):
@@ -351,8 +363,12 @@ class DenseCorrespondenceTraining:
                     time.sleep(2.0)
 
         write_atomic(os.path.join(self._logging_dir, tag + ".ckpt"), variables)
-        write_atomic(os.path.join(self._logging_dir, tag + ".ckpt.opt"),
-                     self._state.opt_state)
+        if getattr(self, "_pp_meta", None) is None:
+            write_atomic(os.path.join(self._logging_dir, tag + ".ckpt.opt"),
+                         self._state.opt_state)
+        # (pipelined runs keep Adam moments on the stage-stacked packed
+        # representation — layout-specific, so not written as .ckpt.opt;
+        # resume from a PP checkpoint re-initializes the optimizer)
         save_yaml(self._logging_dict, os.path.join(self._logging_dir, tag + "_log_history.yaml"))
         current = {
             split: {k: (v[-1] if len(v) else -1) for k, v in d.items()}
@@ -397,6 +413,63 @@ class DenseCorrespondenceTraining:
             self._state = self._state.replace(opt_state=self._tx.init(self._state.params))
         return self.run(loss_current_iteration=it, use_pretrained=True)
 
+    # -- model-parallel routing ---------------------------------------------------------
+
+    def _setup_model_parallel_step(self, loss_cfg, assembler_cfg, W):
+        """Route ``training.tensor_parallel: N`` / ``training.pipeline: S``
+        through the mesh step factories in :mod:`pdc_tpu.parallel`.
+
+        Returns a jitted ``step(state, batch, key)`` with ``self._state``
+        re-laid-out on the mesh (channel-sharded for TP, stage-packed for
+        PP), or ``None`` when neither key is set — the caller then picks
+        the replicated single-/data-parallel paths. Remaining devices go to
+        a leading ``data`` axis, so ``tensor_parallel: 2`` on 8 chips is a
+        4x2 DP x TP mesh. The reference has no model-parallel story at all
+        (SURVEY.md §2c); these paths exist for backbones too large to
+        replicate per chip.
+        """
+        t = self._config["training"]
+        tp = int(t.get("tensor_parallel", 0) or 0)
+        pp = int(t.get("pipeline", 0) or 0)
+        if tp <= 1 and pp <= 1:
+            return None
+        if tp > 1 and pp > 1:
+            raise ValueError(
+                "training.tensor_parallel and training.pipeline are separate "
+                "mesh layouts — set one (compose either with data_parallel; "
+                "a combined TP x PP trainer mesh is not supported)")
+        n = len(jax.devices())
+        k = tp if tp > 1 else pp
+        if n % k != 0:
+            raise ValueError(
+                f"{'tensor_parallel' if tp > 1 else 'pipeline'}={k} does not "
+                f"divide the {n} visible devices")
+        from pdc_tpu.parallel.mesh import make_mesh
+
+        net_cfg = self._config["dense_correspondence_network"]
+        H = net_cfg["image_height"]
+        if tp > 1:
+            from pdc_tpu.parallel.tensor_parallel import make_tp_train_step
+
+            mesh = make_mesh(("data", "model"), shape=(n // k, k))
+            logger.info("tensor-parallel training: %dx%d DP x TP mesh",
+                        n // k, k)
+            step, self._state = make_tp_train_step(
+                self._model, self._tx, loss_cfg, assembler_cfg, W,
+                mesh, self._state)
+            return step
+        from pdc_tpu.parallel.pipeline import make_pp_train_step
+
+        mesh = make_mesh(("data", "pipe"), shape=(n // k, k))
+        logger.info("pipeline-parallel training: %dx%d DP x PP mesh "
+                    "(GPipe, frozen BN — see parallel/pipeline.py)",
+                    n // k, k)
+        step, self._state, self._pp_meta = make_pp_train_step(
+            self._model, self._tx, loss_cfg, assembler_cfg, W,
+            mesh, self._state, (H, W),
+            microbatch=int(t.get("pipeline_microbatch", 1)))
+        return step
+
     # -- the loop ---------------------------------------------------------------------
 
     def _ensure_state(self):
@@ -434,13 +507,21 @@ class DenseCorrespondenceTraining:
         loss_cfg = LossConfig.from_dict(self._config["loss_function"])
         assembler_cfg = AssemblerConfig.from_training_config(self._config)
 
+        # Model-parallel axes (training.tensor_parallel: N / training.pipeline:
+        # S): route through the mesh step factories in parallel/. These paths
+        # stream host batches (the device cache assumes replicated state) —
+        # they exist for backbones too large to replicate per chip, where the
+        # weights, not the input pipeline, are the constraint.
+        self._pp_meta = None
+        train_step = self._setup_model_parallel_step(loss_cfg, assembler_cfg, W)
+
         # Default fast path: cache the frame stacks in device HBM and send
         # only frame indices per step (zero per-step image transfer). Falls
         # back to host streaming when the dataset exceeds the budget.
         cache = None
         scanned_step = None
         steps_per_dispatch = int(t.get("steps_per_dispatch", 10))
-        if t.get("cache_dataset_on_device", True):
+        if train_step is None and t.get("cache_dataset_on_device", True):
             try:
                 from pdc_tpu.data.device_cache import (
                     DeviceCache,
@@ -496,7 +577,7 @@ class DenseCorrespondenceTraining:
             except MemoryError as e:
                 logger.warning("device cache disabled: %s", e)
                 cache = None
-        if cache is None:
+        if cache is None and train_step is None:
             train_step = make_train_step(self._model, self._tx, loss_cfg,
                                          assembler_cfg, W)
         if scanned_step is None and (t.get("data_parallel") or t.get("fsdp")):
@@ -669,7 +750,7 @@ class DenseCorrespondenceTraining:
         net_cfg = self._config["dense_correspondence_network"]
         dcn = DenseCorrespondenceNetwork(
             self._model,
-            {"params": self._state.params, "batch_stats": self._state.batch_stats},
+            jax.device_get(self._current_variables()),
             descriptor_dimension=net_cfg["descriptor_dimension"],
             image_width=net_cfg["image_width"],
             image_height=net_cfg["image_height"],
