@@ -101,6 +101,60 @@ def _cmd_train(argv):
     print(f"trained model folder: {trainer.logging_dir}")
 
 
+def _cmd_experiment(argv):
+    """Run one of the reference's experiment protocols headlessly
+    (dense_correspondence/experiments/*/; pdc_tpu.experiments)."""
+    p = argparse.ArgumentParser(prog="python -m pdc_tpu experiment")
+    p.add_argument("protocol", nargs="?", default=None,
+                   help="protocol name (omit with --list)")
+    p.add_argument("--list", action="store_true", dest="list_protocols",
+                   help="list available protocols")
+    p.add_argument("--steps", type=int, default=None,
+                   help="override per-variant training steps "
+                        "(default: the notebook's full count)")
+    p.add_argument("--width", type=int, default=640)
+    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--num_eval_pairs", type=int, default=100)
+    p.add_argument("--num_matches_per_pair", type=int, default=100)
+    p.add_argument("--save_rate", type=int, default=None)
+    p.add_argument("--smoke", action="store_true",
+                   help="tiny CI-sized run (4 steps, 64x48)")
+    p.add_argument("--data_dir", default=None,
+                   help="published pdc data root (default: synthetic "
+                        "stand-in dataset)")
+    p.add_argument("--dataset_dir", default=None,
+                   help="composite-config dir (default: "
+                        "configs/dataset/composite)")
+    p.add_argument("--logging_dir", default=None)
+    p.add_argument("--max_runs", type=int, default=None,
+                   help="truncate the variant grid")
+    p.add_argument("--no_eval", action="store_true")
+    args = p.parse_args(argv)
+
+    from pdc_tpu.experiments import Scale, list_protocols, run_protocol
+
+    if args.list_protocols or not args.protocol:
+        for name, n_runs, desc in list_protocols():
+            print(f"{name:28s} {n_runs:3d} runs  {desc}")
+        return 0
+
+    from pdc_tpu.utils.compilation_cache import enable
+
+    enable()
+    scale = Scale.smoke() if args.smoke else Scale(
+        steps=args.steps, width=args.width, height=args.height,
+        batch_size=args.batch_size, num_eval_pairs=args.num_eval_pairs,
+        num_matches_per_pair=args.num_matches_per_pair,
+        save_rate=args.save_rate)
+    if args.smoke and args.steps:
+        scale.steps = args.steps
+    run_protocol(args.protocol, scale=scale, data_dir=args.data_dir,
+                 dataset_dir=args.dataset_dir, logging_dir=args.logging_dir,
+                 evaluate=not args.no_eval, max_runs=args.max_runs)
+    return 0
+
+
 def _cmd_evaluate(argv):
     """Full analysis pipeline on a model folder
     (evaluation.py:2307-2410 ``run_evaluation_on_network``)."""
@@ -128,7 +182,7 @@ def _cmd_evaluate(argv):
 
 def main(argv=None):
     argv = list(sys.argv[1:] if argv is None else argv)
-    commands = ["train", "evaluate"] + sorted(DELEGATED)
+    commands = ["train", "evaluate", "experiment"] + sorted(DELEGATED)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
         print("commands:", ", ".join(commands))
@@ -138,6 +192,8 @@ def main(argv=None):
         return _cmd_train(rest)
     if cmd == "evaluate":
         return _cmd_evaluate(rest)
+    if cmd == "experiment":
+        return _cmd_experiment(rest)
     if cmd in DELEGATED:
         saved_argv = sys.argv
         sys.argv = [f"python -m {DELEGATED[cmd]}"] + rest

@@ -1,0 +1,257 @@
+"""Headless executor for the reference experiment protocols.
+
+Runs any :mod:`pdc_tpu.experiments.protocols` entry end to end: resolve the
+dataset (the published composite when ``data_dir`` is given, a synthetic
+stand-in otherwise), train every variant through the standard
+model-folder-contract trainer, score all networks with the evaluation
+registry (one CDF overlay across variants, reference-style per-network
+analysis dirs), and write a machine-readable ``result.json``.
+
+This replaces the reference's per-experiment notebooks
+(``dense_correspondence/experiments/*/training_*.ipynb`` — each one a
+train-loop cell plus ``DCE.run_evaluation_on_network``) with one shared,
+scriptable driver.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+import glob
+import json
+import os
+import re
+from typing import Optional
+
+from pdc_tpu.experiments.protocols import PROTOCOLS, Protocol, Run
+
+_STAT_KEYS = ("pck_at_5px", "pck_at_10px", "norm_diff_3d_area_above_curve")
+
+
+@dataclasses.dataclass
+class Scale:
+    """Compute-scale knobs: the protocol's *shape* (variant grid, config
+    mutations, dataset structure) is fixed; these only size the compute.
+    ``full()`` reproduces the notebook settings; ``smoke()`` is a CI-sized
+    run."""
+
+    steps: Optional[int] = None      # None -> protocol.num_iterations
+    width: int = 640
+    height: int = 480
+    batch_size: Optional[int] = None
+    num_eval_pairs: int = 100
+    num_matches_per_pair: int = 100
+    save_rate: Optional[int] = None  # None -> one checkpoint at the end
+
+    @classmethod
+    def full(cls):
+        return cls()
+
+    @classmethod
+    def smoke(cls):
+        return cls(steps=4, width=64, height=48, batch_size=2,
+                   num_eval_pairs=2, num_matches_per_pair=10)
+
+
+def set_nested(cfg: dict, dotted_key: str, value):
+    d = cfg
+    parts = dotted_key.split(".")
+    for p in parts[:-1]:
+        d = d.setdefault(p, {})
+    d[parts[-1]] = value
+
+
+def _resolve_dataset(protocol: Protocol, composite: Optional[str],
+                     data_dir: Optional[str], dataset_dir: Optional[str],
+                     scale: Scale, cache: dict):
+    """SpartanDataset for ``composite`` (or the protocol default): the real
+    published layout under ``data_dir`` when given, else the protocol's
+    synthetic stand-in (one shared instance per composite name so the
+    isolated/cluttered eval sets stay distinct objects)."""
+    from pdc_tpu.data.dataset import SpartanDataset
+
+    name = composite or protocol.composite
+    if name in cache:
+        return cache[name]
+    if data_dir:
+        from pdc_tpu.utils.yaml_io import load_yaml
+
+        base = dataset_dir or os.path.join(
+            os.path.dirname(os.path.dirname(os.path.dirname(
+                os.path.abspath(__file__)))), "configs", "dataset",
+            "composite")
+        path = name if os.path.isabs(name) else os.path.join(base, name)
+        ds = SpartanDataset(config=load_yaml(path), data_dir=data_dir,
+                            config_dir=os.path.dirname(path))
+    else:
+        kw = dict(protocol.synthetic)
+        kw.setdefault("width", scale.width)
+        kw.setdefault("height", scale.height)
+        kw["width"], kw["height"] = scale.width, scale.height
+        # distinct composites get distinct synthetic seeds so e.g. the
+        # cluttered eval set is not the training set under another name
+        seed_shift = sum(ord(c) for c in name) % 7
+        kw["num_scenes"] = int(kw.get("num_scenes", 2)) + (seed_shift % 2)
+        ds = SpartanDataset.make_synthetic(**kw)
+    cache[name] = ds
+    return ds
+
+
+def _checkpoint_iterations(model_folder: str):
+    its = []
+    for p in glob.glob(os.path.join(model_folder, "*.ckpt")):
+        m = re.match(r"^(\d{6})\.ckpt$", os.path.basename(p))
+        if m:
+            its.append(int(m.group(1)))
+    return sorted(its)
+
+
+def _quantitative_stats(dcn, dataset, out_dir: str, label: str,
+                        scale: Scale):
+    """Reference-style quantitative CSV + stats for one (network, dataset)
+    pair, written under ``out_dir`` (the notebook's ``save_folder_name``
+    mechanism, evaluation.py run_evaluation_on_network)."""
+    from pdc_tpu.evaluation.evaluate import DenseCorrespondenceEvaluation as DCE
+    from pdc_tpu.evaluation.plotting import (
+        DenseCorrespondenceEvaluationPlotter as DCEP)
+
+    os.makedirs(out_dir, exist_ok=True)
+    df = DCE.evaluate_network_quantitative(
+        dcn, dataset, num_image_pairs=scale.num_eval_pairs,
+        num_matches_per_image_pair=scale.num_matches_per_pair)
+    csv_path = os.path.join(out_dir, "data.csv")
+    df.to_csv(csv_path)
+    if not len(df):
+        return {}
+    stats = DCEP.run_on_single_dataframe(
+        csv_path, label=label, output_dir=out_dir, save=True)
+    return {k: stats[k] for k in _STAT_KEYS if k in stats}
+
+
+def run_protocol(name: str, scale: Optional[Scale] = None,
+                 data_dir: Optional[str] = None,
+                 dataset_dir: Optional[str] = None,
+                 logging_dir: Optional[str] = None,
+                 train: bool = True, evaluate: bool = True,
+                 max_runs: Optional[int] = None):
+    """Execute one protocol; returns the summary dict (also written to
+    ``<logging_dir>/result.json``).
+
+    :param max_runs: truncate the variant grid (the big multi_object grid
+        at reduced budget); the summary records the truncation.
+    """
+    if name not in PROTOCOLS:
+        raise KeyError(
+            f"unknown protocol {name!r}; have {sorted(PROTOCOLS)}")
+    protocol = PROTOCOLS[name]
+    scale = scale or Scale.full()
+    logging_dir = logging_dir or os.path.join("trained_models",
+                                              "experiments", name)
+    os.makedirs(logging_dir, exist_ok=True)
+
+    from pdc_tpu.evaluation.evaluate import DenseCorrespondenceEvaluation as DCE
+    from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
+    from pdc_tpu.training.train import DenseCorrespondenceTraining
+
+    runs = list(protocol.runs)
+    truncated = 0
+    if max_runs is not None and len(runs) > max_runs:
+        truncated = len(runs) - max_runs
+        runs = runs[:max_runs]
+
+    ds_cache: dict = {}
+    summary = {
+        "protocol": name,
+        "reference_dir": (
+            "dense_correspondence/experiments/" + protocol.reference_dir),
+        "description": protocol.description,
+        "dataset": ("published:" + (data_dir or "")) if data_dir
+        else "synthetic stand-in (no pdc data in environment)",
+        "scale": dataclasses.asdict(scale),
+        "runs_truncated": truncated,
+        "networks": {},
+    }
+
+    model_folders = {}
+    for run in runs:
+        dataset = _resolve_dataset(protocol, run.composite, data_dir,
+                                   dataset_dir, scale, ds_cache)
+        cfg = copy.deepcopy(DenseCorrespondenceTraining.load_default_config())
+        t = cfg["training"]
+        steps = scale.steps or protocol.num_iterations
+        t["num_iterations"] = steps
+        t["logging_dir"] = logging_dir
+        t["logging_dir_name"] = run.name
+        t["save_rate"] = scale.save_rate or max(steps, 1)
+        t["logging_rate"] = max(steps // 10, 1)
+        if scale.batch_size:
+            t["batch_size"] = scale.batch_size
+        net = cfg["dense_correspondence_network"]
+        net["image_width"], net["image_height"] = scale.width, scale.height
+        for k, v in run.overrides.items():
+            set_nested(cfg, k, v)
+
+        folder = os.path.join(logging_dir, run.name)
+        if train:
+            print(f"=== [{name}] training {run.name} ({steps} steps) ===",
+                  flush=True)
+            trainer = DenseCorrespondenceTraining(config=cfg, dataset=dataset)
+            folder = trainer.run()
+        model_folders[run.name] = folder
+        summary["networks"][run.name] = {
+            "model_folder": folder,
+            "overrides": dict(run.overrides),
+            "composite": run.composite or protocol.composite,
+        }
+
+    if evaluate:
+        # one overlaid CDF across all variants on the default eval dataset
+        # (test mode) — the comparison figure every eval notebook hand-builds
+        eval_ds = _resolve_dataset(protocol, None, data_dir, dataset_dir,
+                                   scale, ds_cache)
+        registry = {
+            "networks": {n: {"model_folder": f}
+                         for n, f in model_folders.items()},
+            "output_dir": logging_dir,
+            "params": {
+                "num_image_pairs": scale.num_eval_pairs,
+                "num_matches_per_image_pair": scale.num_matches_per_pair},
+        }
+        dce = DCE(config=registry, dataset=eval_ds)
+        all_stats = dce.compare_networks(
+            network_names=list(model_folders), mode="test")
+        for n, stats in all_stats.items():
+            summary["networks"][n]["test"] = {
+                k: stats[k] for k in _STAT_KEYS if k in stats}
+
+        # per-network extra eval datasets (multi_object's isolated/cluttered)
+        for save_name, comp in protocol.eval_composites:
+            comp_ds = _resolve_dataset(protocol, comp, data_dir, dataset_dir,
+                                       scale, ds_cache)
+            comp_ds.set_test_mode()
+            for n, folder in model_folders.items():
+                dcn = DenseCorrespondenceNetwork.from_model_folder(folder)
+                stats = _quantitative_stats(
+                    dcn, comp_ds, os.path.join(folder, save_name), save_name,
+                    scale)
+                summary["networks"][n][save_name] = stats
+
+        # the training-steps protocol scores every saved checkpoint
+        if name == "caterpillar_training_steps":
+            eval_ds.set_test_mode()
+            for n, folder in model_folders.items():
+                curve = {}
+                for it in _checkpoint_iterations(folder):
+                    dcn = DenseCorrespondenceNetwork.from_model_folder(
+                        folder, iteration=it)
+                    curve[it] = _quantitative_stats(
+                        dcn, eval_ds,
+                        os.path.join(folder, f"analysis_iter_{it:06d}"),
+                        f"iter {it}", scale)
+                summary["networks"][n]["pck_vs_steps"] = curve
+
+    out = os.path.join(logging_dir, "result.json")
+    with open(out, "w") as f:
+        json.dump(summary, f, indent=2, default=float)
+    print(f"[{name}] result written: {out}")
+    return summary
