@@ -34,13 +34,18 @@ Design (TPU-first):
   calibrated scales make serving deterministic per frame.
 
 Wire protocol (one TCP connection serves many requests):
-  request  = JSON header line ending in ``\\n``, then ``payload_len`` raw
-             bytes. Header keys: ``op`` ("ping" | "info" | "descriptors" |
-             "best_match"), ``shape`` [H, W, 3] (uint8 RGB payload),
+  request  = JSON header line ending in ``\\n``, then the payload bytes.
+             Header keys: ``op`` ("ping" | "info" | "descriptors" |
+             "best_match"), ``shape`` [H, W, 3] (decoded frame dims),
+             ``encoding`` ("raw" uint8 RGB, default | "jpeg" | "png" —
+             compressed frames carry ``payload_len`` and cut the upload
+             ~10-20x; the wire is usually the serving bottleneck through
+             thin links), ``response_dtype`` ("float32" default |
+             "float16" — halves the descriptor download),
              ``queries`` [[D floats], ...] (best_match only).
   response = JSON header line (``ok``, plus ``shape``/``dtype`` when a
-             payload follows), then the payload bytes (float32
-             little-endian descriptors, or int32 uv + float32 distances).
+             payload follows), then the payload bytes (little-endian
+             descriptors, or int32 uv + float32 distances).
 
 Use :class:`DescriptorClient` from Python, or any language that can write
 a JSON line + raw bytes.
@@ -63,6 +68,49 @@ import numpy as np
 
 class _DesyncError(ValueError):
     """Protocol framing is unrecoverable; close the connection."""
+
+
+def encode_frame(rgb_u8: np.ndarray, encoding: str, quality: int = 90) -> bytes:
+    """Compress an RGB uint8 frame for the wire ("jpeg" | "png"). cv2 when
+    present (fast), PIL otherwise — host-side only, like every other image
+    codec use in pdc_tpu."""
+    try:
+        import cv2
+
+        ext = ".jpg" if encoding == "jpeg" else ".png"
+        params = ([int(cv2.IMWRITE_JPEG_QUALITY), int(quality)]
+                  if encoding == "jpeg" else [])
+        ok, buf = cv2.imencode(ext, rgb_u8[:, :, ::-1], params)  # RGB->BGR
+        if not ok:
+            raise ValueError(f"cv2 {encoding} encode failed")
+        return buf.tobytes()
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        bio = io.BytesIO()
+        Image.fromarray(rgb_u8).save(
+            bio, format="JPEG" if encoding == "jpeg" else "PNG",
+            quality=int(quality))
+        return bio.getvalue()
+
+
+def decode_frame(data: bytes, encoding: str) -> np.ndarray:
+    """Inverse of :func:`encode_frame`: compressed bytes -> RGB uint8."""
+    try:
+        import cv2
+
+        img = cv2.imdecode(np.frombuffer(data, np.uint8), cv2.IMREAD_COLOR)
+        if img is None:
+            raise ValueError(f"cv2 {encoding} decode failed")
+        return np.ascontiguousarray(img[:, :, ::-1])  # BGR->RGB
+    except ImportError:
+        import io
+
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)).convert("RGB"))
 
 
 def _bucket(n: int, buckets) -> int:
@@ -277,22 +325,29 @@ class DescriptorServer:
         try:
             # One dispatch serves the whole batch: forward AND every
             # request's best-match queries. The descriptor images stay ON
-            # DEVICE (each handler thread fetches only its slice, only for
-            # the descriptors op); uv/dist are fetched here in one small
-            # transfer — so best_match traffic costs one upload + bytes
-            # back per BATCH, never a per-request device round trip.
+            # DEVICE unless a request needs them, and the slices that ARE
+            # needed come back as ONE gathered transfer per batch (a
+            # per-request fetch costs a full device round trip each through
+            # a tunnel/thin link); uv/dist likewise arrive in one small
+            # fetch — so best_match traffic costs one upload + bytes back
+            # per BATCH, never a per-request device round trip.
             out, uv, dist = self._forward(
                 self._variables, jnp.asarray(frames),
                 jnp.asarray(queries), jnp.asarray(valid))
+            need = [i for i, r in enumerate(batch) if r.queries is None]
+            desc_h = (np.asarray(out[jnp.asarray(need, jnp.int32)])
+                      if need else None)
+            desc_pos = {i: k for k, i in enumerate(need)}
             uv_h = np.asarray(uv) if valid.any() else None
             dist_h = np.asarray(dist) if valid.any() else None
             with self._stats_lock:
                 self.stats["dispatches"] += 1
                 self.stats["frames"] += n
             for i, req in enumerate(batch):
-                req.result = (out, i,
-                              None if uv_h is None else uv_h[i],
-                              None if dist_h is None else dist_h[i])
+                req.result = (
+                    desc_h[desc_pos[i]] if i in desc_pos else None,
+                    None if uv_h is None else uv_h[i],
+                    None if dist_h is None else dist_h[i])
                 req.event.set()
         except Exception as e:  # surface device errors to every waiter
             for req in batch:
@@ -300,7 +355,8 @@ class DescriptorServer:
                 req.event.set()
 
     def _submit(self, rgb: np.ndarray, queries=None):
-        """:return: (out_device [B, H, W, D], i, uv [Qmax, 2], dist [Qmax])"""
+        """:return: (descriptors [H, W, D] np or None, uv [Qmax, 2],
+        dist [Qmax])"""
         req = _Request(rgb, queries)
         self._queue.put(req)
         req.event.wait()
@@ -335,6 +391,7 @@ class DescriptorServer:
 
     def _read_frame(self, header, rfile) -> np.ndarray:
         shape = header.get("shape")
+        encoding = header.get("encoding", "raw")
         # exact-width Python-int product — np.prod would wrap at int64 and a
         # huge declared shape could slip a negative length past the cap
         if (not isinstance(shape, list) or len(shape) != 3
@@ -344,16 +401,30 @@ class DescriptorServer:
             # can't trust the declared length -> the stream is desynced;
             # _DesyncError closes the connection after the error response
             raise _DesyncError(f"bad shape: {shape!r}")
+        if encoding not in ("raw", "jpeg", "png"):
+            raise _DesyncError(f"bad encoding: {encoding!r}")
+        if encoding == "raw":
+            nbytes = math.prod(shape)
+        else:
+            nbytes = header.get("payload_len")
+            if (not isinstance(nbytes, int)
+                    or not 0 < nbytes <= self._MAX_PAYLOAD):
+                raise _DesyncError(f"bad payload_len: {nbytes!r}")
         # drain the declared payload FIRST so the connection stays usable
         # even when validation below rejects the request
-        nbytes = math.prod(shape)
         payload = rfile.read(nbytes)
+        if len(payload) != nbytes:
+            raise _DesyncError("truncated payload")
         expect = [self._H, self._W, 3]
         if shape != expect:
             raise ValueError(f"shape {shape} != served {expect}")
-        if len(payload) != nbytes:
-            raise _DesyncError("truncated payload")
-        return np.frombuffer(payload, np.uint8).reshape(shape)
+        if encoding == "raw":
+            return np.frombuffer(payload, np.uint8).reshape(shape)
+        rgb = decode_frame(payload, encoding)
+        if list(rgb.shape) != expect:
+            raise ValueError(
+                f"decoded {encoding} shape {list(rgb.shape)} != {expect}")
+        return rgb
 
     def _handle_request(self, header, rfile, wfile):
         op = header.get("op")
@@ -370,11 +441,13 @@ class DescriptorServer:
             })
         elif op == "descriptors":
             rgb = self._read_frame(header, rfile)
-            out, i, _, _ = self._submit(rgb)
-            res = np.asarray(out[i])  # fetch only this frame's slice
+            rdtype = header.get("response_dtype", "float32")
+            if rdtype not in ("float32", "float16"):
+                raise ValueError(f"bad response_dtype: {rdtype!r}")
+            res, _, _ = self._submit(rgb)
+            wire = res.astype("<f2" if rdtype == "float16" else "<f4")
             self._send(wfile, {"ok": True, "shape": list(res.shape),
-                               "dtype": "float32"},
-                       res.astype("<f4").tobytes())
+                               "dtype": rdtype}, wire.tobytes())
         elif op == "best_match":
             rgb = self._read_frame(header, rfile)  # drains payload first
             queries = np.asarray(header.get("queries", []), np.float32)
@@ -384,7 +457,7 @@ class DescriptorServer:
             if q > self._Q:
                 raise ValueError(
                     f"too many queries: {q} > max_queries {self._Q}")
-            _, _, uv, dist = self._submit(rgb, queries)
+            _, uv, dist = self._submit(rgb, queries)
             uv, dist = uv[:q], dist[:q]
             self._send(wfile, {"ok": True, "num_queries": q,
                                "dtype": "int32+float32"},
@@ -438,10 +511,21 @@ class DescriptorClient:
     @staticmethod
     def _payload_len(resp: dict) -> int:
         if "shape" in resp:
-            return int(np.prod(resp["shape"])) * 4
+            itemsize = 2 if resp.get("dtype") == "float16" else 4
+            return int(np.prod(resp["shape"])) * itemsize
         if "num_queries" in resp:
             return int(resp["num_queries"]) * (2 * 4 + 4)
         return 0
+
+    @staticmethod
+    def _frame_payload(rgb_u8, encoding, quality):
+        header = {"shape": list(rgb_u8.shape)}
+        if encoding in (None, "raw"):
+            return header, rgb_u8.tobytes()
+        payload = encode_frame(rgb_u8, encoding, quality)
+        header["encoding"] = encoding
+        header["payload_len"] = len(payload)
+        return header, payload
 
     def ping(self) -> bool:
         return bool(self._roundtrip({"op": "ping"}).get("ok"))
@@ -451,21 +535,38 @@ class DescriptorClient:
         r.pop("_payload", None)
         return r
 
-    def descriptors(self, rgb_u8: np.ndarray) -> np.ndarray:
-        """uint8 RGB [H, W, 3] -> float32 descriptor image [H, W, D]."""
-        rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
-        r = self._roundtrip({"op": "descriptors",
-                             "shape": list(rgb_u8.shape)}, rgb_u8.tobytes())
-        return np.frombuffer(r["_payload"], "<f4").reshape(r["shape"])
+    def descriptors(self, rgb_u8: np.ndarray, encoding: str = None,
+                    quality: int = 90,
+                    response_dtype: str = "float32") -> np.ndarray:
+        """uint8 RGB [H, W, 3] -> descriptor image [H, W, D].
 
-    def best_match(self, rgb_u8: np.ndarray, queries: np.ndarray):
+        :param encoding: None/"raw" (uint8 upload) | "jpeg" | "png" —
+            compressed upload, ~10-20x less uplink traffic (jpeg is lossy;
+            descriptors shift accordingly)
+        :param response_dtype: "float32" | "float16" (halves the downlink;
+            ~3 decimal digits, plenty for descriptor-space distances)
+        """
+        rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
+        header, payload = self._frame_payload(rgb_u8, encoding, quality)
+        header["op"] = "descriptors"
+        if response_dtype != "float32":
+            header["response_dtype"] = response_dtype
+        r = self._roundtrip(header, payload)
+        wire = "<f2" if r.get("dtype") == "float16" else "<f4"
+        return np.frombuffer(r["_payload"], wire).reshape(r["shape"])
+
+    def best_match(self, rgb_u8: np.ndarray, queries: np.ndarray,
+                   encoding: str = None, quality: int = 90):
         """:return: (uv [Q, 2] int32, dist [Q] float32) best matches of each
-        query descriptor in the frame's descriptor image."""
+        query descriptor in the frame's descriptor image. ``encoding`` as
+        in :meth:`descriptors` — with compressed upload the whole op is a
+        few-dozen-KB round trip."""
         rgb_u8 = np.ascontiguousarray(rgb_u8, np.uint8)
         queries = np.asarray(queries, np.float32)
-        r = self._roundtrip(
-            {"op": "best_match", "shape": list(rgb_u8.shape),
-             "queries": queries.tolist()}, rgb_u8.tobytes())
+        header, payload = self._frame_payload(rgb_u8, encoding, quality)
+        header["op"] = "best_match"
+        header["queries"] = queries.tolist()
+        r = self._roundtrip(header, payload)
         q = r["num_queries"]
         raw = r["_payload"]
         uv = np.frombuffer(raw[:q * 8], "<i4").reshape(q, 2)

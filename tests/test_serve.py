@@ -275,3 +275,85 @@ def test_model_parallel_int8_server(dcn):
         np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
     finally:
         s.shutdown()
+
+
+def test_png_upload_exact_and_f16_response(server, dcn):
+    """PNG is lossless -> descriptors identical to the raw-upload path;
+    float16 response stays within half-precision rounding of them."""
+    rgb = _frame(7)
+    with _client(server) as c:
+        raw = c.descriptors(rgb)
+        png = c.descriptors(rgb, encoding="png")
+        f16 = c.descriptors(rgb, encoding="png", response_dtype="float16")
+    np.testing.assert_array_equal(raw, png)
+    assert f16.dtype == np.float16
+    np.testing.assert_allclose(f16.astype(np.float32), raw,
+                               atol=2e-3, rtol=2e-3)
+
+
+def test_jpeg_upload_close_and_small(server):
+    """JPEG is lossy -> descriptors close but not exact; the wire payload is
+    a fraction of the raw frame."""
+    from pdc_tpu.apps.serve import encode_frame
+
+    rgb = _frame(8)
+    payload = encode_frame(rgb, "jpeg", quality=90)
+    assert len(payload) < rgb.nbytes / 2
+    with _client(server) as c:
+        raw = c.descriptors(rgb)
+        jpg = c.descriptors(rgb, encoding="jpeg")
+    assert np.sqrt(np.mean((raw - jpg) ** 2)) < 0.5 * np.std(raw) + 1e-3
+
+
+def test_best_match_compressed_upload(server):
+    rgb = _frame(9)
+    queries = np.random.RandomState(9).randn(3, D).astype(np.float32)
+    with _client(server) as c:
+        uv_raw, dist_raw = c.best_match(rgb, queries)
+        uv_png, dist_png = c.best_match(rgb, queries, encoding="png")
+    np.testing.assert_array_equal(uv_raw, uv_png)
+    np.testing.assert_allclose(dist_raw, dist_png, rtol=1e-6)
+
+
+def test_bad_encoding_rejected(server):
+    import json
+    import socket
+
+    host, port = server.address
+    with socket.create_connection((host, port), timeout=30) as s:
+        rf = s.makefile("rb")
+        s.sendall(json.dumps({"op": "descriptors", "shape": [H, W, 3],
+                              "encoding": "bmp"}).encode() + b"\n")
+        resp = json.loads(rf.readline())
+        assert not resp["ok"] and "encoding" in resp["error"]
+
+
+def test_mixed_descriptor_and_best_match_batch(server, dcn):
+    """Concurrent descriptors + best_match requests coalesce into one batch;
+    the gathered descriptor fetch must route each slice to its own request."""
+    frames = [_frame(20 + i) for i in range(4)]
+    queries = np.random.RandomState(1).randn(2, D).astype(np.float32)
+    results = {}
+
+    def desc(i):
+        with _client(server) as c:
+            results[i] = c.descriptors(frames[i])
+
+    def bm(i):
+        with _client(server) as c:
+            results[i] = c.best_match(frames[i], queries)
+
+    threads = [threading.Thread(target=desc, args=(0,)),
+               threading.Thread(target=bm, args=(1,)),
+               threading.Thread(target=desc, args=(2,)),
+               threading.Thread(target=bm, args=(3,))]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for i in (0, 2):
+        direct = np.asarray(dcn.forward_on_img(frames[i]))
+        np.testing.assert_allclose(results[i], direct, atol=1e-4, rtol=1e-4)
+    for i in (1, 3):
+        uv, dist = results[i]
+        assert uv.shape == (2, 2) and dist.shape == (2,)
