@@ -16,20 +16,38 @@ from pdc_tpu.models.dcn import DenseCorrespondenceNetwork
 from pdc_tpu.models.torch_import import convert_reference_dcn
 
 W, H, D = 32, 24, 3
-FIXTURE = os.path.join(os.path.dirname(__file__), "fixtures",
-                       "resnet18_8s_convert_golden.npz")
 
-NET_CONFIG = {
-    "backbone": {"model_class": "Resnet", "resnet_name": "Resnet18_8s"},
-    "descriptor_dimension": D,
-    "image_width": W,
-    "image_height": H,
-    "normalize": False,
+# both basic-block backbones the reference's published protocol uses
+# (Resnet34_8s is the paper default, dense_correspondence_network.py:373-383)
+MODELS = {
+    "Resnet18_8s": (2, 2, 2, 2),
+    "Resnet34_8s": (3, 4, 6, 3),
 }
-STAGE_SIZES = (2, 2, 2, 2)
 
 
-def make_state_dict(variables, prefix="fcn.resnet18_8s."):
+def fixture_path(resnet_name: str) -> str:
+    return os.path.join(os.path.dirname(__file__), "fixtures",
+                        f"{resnet_name.lower()}_convert_golden.npz")
+
+
+def net_config(resnet_name: str) -> dict:
+    return {
+        "backbone": {"model_class": "Resnet", "resnet_name": resnet_name},
+        "descriptor_dimension": D,
+        "image_width": W,
+        "image_height": H,
+        "normalize": False,
+    }
+
+
+# back-compat aliases (tools/make_convert_golden.py)
+FIXTURE = fixture_path("Resnet18_8s")
+NET_CONFIG = net_config("Resnet18_8s")
+STAGE_SIZES = MODELS["Resnet18_8s"]
+
+
+def make_state_dict(variables, prefix="fcn.resnet18_8s.",
+                    stage_sizes=STAGE_SIZES):
     """Deterministic torchvision-format state dict (the golden 'pretrained
     checkpoint' stand-in — real ImageNet weights are fetched by
     deploy/setup_tpu_vm.sh; this fixture pins the CONVERSION numerics)."""
@@ -56,7 +74,7 @@ def make_state_dict(variables, prefix="fcn.resnet18_8s."):
 
     add_conv("conv1", params, "stem_conv")
     add_bn("bn1", params, stats, "stem_bn")
-    for st, nblocks in enumerate(STAGE_SIZES, start=1):
+    for st, nblocks in enumerate(stage_sizes, start=1):
         for b in range(nblocks):
             fx = f"stage{st}_block{b}"
             for c in ("conv1", "conv2"):
@@ -74,7 +92,8 @@ def make_state_dict(variables, prefix="fcn.resnet18_8s."):
     return sd
 
 
-def torch_dilated_resnet_forward(sd, x_nchw, out_hw):
+def torch_dilated_resnet_forward(sd, x_nchw, out_hw,
+                                 stage_sizes=STAGE_SIZES):
     """Functional torch forward of the dilated ResNet-8s trunk + 1x1 head +
     bilinear x8 upsample — torchvision layer semantics (conv pad=dilation,
     BN eps 1e-5, maxpool 3x3/2 pad 1, align_corners=False), the behavior of
@@ -95,7 +114,7 @@ def torch_dilated_resnet_forward(sd, x_nchw, out_hw):
     x = F.max_pool2d(x, 3, stride=2, padding=1)
 
     strides, dilations = (1, 2, 1, 1), (1, 1, 2, 4)
-    for st, nblocks in enumerate(STAGE_SIZES, start=1):
+    for st, nblocks in enumerate(stage_sizes, start=1):
         for b in range(nblocks):
             p = f"layer{st}.{b}"
             stride = strides[st - 1] if b == 0 else 1
@@ -115,10 +134,11 @@ def torch_dilated_resnet_forward(sd, x_nchw, out_hw):
     return x.numpy()
 
 
-@pytest.fixture(scope="module")
-def converted():
-    dcn = DenseCorrespondenceNetwork.from_config(dict(NET_CONFIG))
-    sd = make_state_dict(dcn.variables)
+def _convert(resnet_name: str):
+    dcn = DenseCorrespondenceNetwork.from_config(net_config(resnet_name))
+    sd = make_state_dict(dcn.variables,
+                         prefix=f"fcn.{resnet_name.lower()}.",
+                         stage_sizes=MODELS[resnet_name])
     dcn.variables = convert_reference_dcn(sd, dcn.variables)
     rng = np.random.RandomState(1)
     x = rng.rand(1, H, W, 3).astype(np.float32)
@@ -126,13 +146,31 @@ def converted():
     return sd, x, res
 
 
-def test_converted_forward_matches_torch(converted):
+@pytest.fixture(scope="module")
+def converted():
+    return _convert("Resnet18_8s")
+
+
+@pytest.fixture(scope="module")
+def converted34():
+    return _convert("Resnet34_8s")
+
+
+def _pair(request, resnet_name):
+    return request.getfixturevalue(
+        "converted34" if resnet_name == "Resnet34_8s" else "converted")
+
+
+@pytest.mark.parametrize("resnet_name", sorted(MODELS))
+def test_converted_forward_matches_torch(request, resnet_name):
     """Layer-for-layer architecture + conversion numerics: flax forward on
-    converted weights == torch forward on the original state dict."""
-    sd, x, res_flax = converted
+    converted weights == torch forward on the original state dict — for the
+    reference's published Resnet34_8s default AND the light Resnet18_8s."""
+    sd, x, res_flax = _pair(request, resnet_name)
     sd_stripped = {k.split(".", 2)[-1]: v for k, v in sd.items()}
     res_torch = torch_dilated_resnet_forward(
-        sd_stripped, np.transpose(x, (0, 3, 1, 2)), (H, W))
+        sd_stripped, np.transpose(x, (0, 3, 1, 2)), (H, W),
+        stage_sizes=MODELS[resnet_name])
     res_torch = np.transpose(res_torch, (0, 2, 3, 1))
     assert res_flax.shape == res_torch.shape == (1, H, W, D)
     scale = np.abs(res_torch).max()
@@ -140,12 +178,13 @@ def test_converted_forward_matches_torch(converted):
                                atol=2e-5)
 
 
-def test_converted_forward_matches_golden(converted):
+@pytest.mark.parametrize("resnet_name", sorted(MODELS))
+def test_converted_forward_matches_golden(request, resnet_name):
     """Committed golden output: catches converter OR model drift without
     needing torch at test time (regenerate with
     tools/make_convert_golden.py after intentional changes)."""
-    _, x, res_flax = converted
-    golden = np.load(FIXTURE)
+    _, x, res_flax = _pair(request, resnet_name)
+    golden = np.load(fixture_path(resnet_name))
     np.testing.assert_allclose(np.asarray(golden["input"]), x, atol=0)
     scale = np.abs(golden["output"]).max()
     np.testing.assert_allclose(res_flax / scale, golden["output"] / scale,
