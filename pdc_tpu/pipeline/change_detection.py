@@ -360,6 +360,88 @@ class ChangeDetection:
             encode_batch(writes, self.H, self.W)
         return len(pose_map)
 
+    def process_scene(self, structure, pose_map=None, save: bool = True,
+                      render_full_depth: bool = True):
+        """Fused whole-scene pass: masks + cropped depth + full depth come
+        back from ONE device dispatch with the on-disk encodings (uint8 /
+        uint16 mm) already applied on device — see
+        :func:`pdc_tpu.pipeline.renderer.render_scene_products`. Identical
+        outputs to :meth:`run` + :meth:`render_depth_images` (the crop
+        strategy's mask is ``depth_cropped > 0`` either way); those stay for
+        the pair-strategy (background mesh) and point-splat cases, which
+        this method falls back to.
+
+        :return: number of frames written
+        """
+        handle = self.process_scene_start(structure, pose_map=pose_map,
+                                          render_full_depth=render_full_depth)
+        if handle is None:
+            n = self.run(structure, pose_map=pose_map, save=save)
+            if render_full_depth:
+                self.render_depth_images(structure, pose_map=pose_map,
+                                         save=save)
+            return n
+        return self.process_scene_finish(handle, save=save)
+
+    def process_scene_start(self, structure, pose_map=None,
+                            render_full_depth: bool = True):
+        """Async half of :meth:`process_scene`: host prep + device DISPATCH
+        (no fetch — jax dispatch is asynchronous). Returns a handle for
+        :meth:`process_scene_finish`, or None when the scene needs the
+        two-pass fallback (no faces / pair strategy / forced tile), in which
+        case the caller should use :meth:`process_scene`. The all-logs
+        driver overlaps scene i+1's host work with scene i's device render
+        + transfer this way."""
+        if (self.faces is None or self.background_points is not None
+                or self.raster_tile is not None):
+            return None
+        from pdc_tpu.pipeline.renderer import render_scene_products_start
+
+        if pose_map is None:
+            pose_map = structure.load_pose_data()
+        indices = sorted(pose_map.keys())
+        poses = np.stack([pose_map[i] for i in indices])
+        # full render reuses the fg render when nothing was cropped away
+        full_faces = (self._fg_faces if not render_full_depth
+                      else self.faces)
+        out = render_scene_products_start(
+            self.points, self._fg_faces, full_faces, poses, self.K,
+            self.H, self.W, DEPTH_IM_SCALE)
+        return {"out": out, "indices": indices, "structure": structure,
+                "render_full_depth": render_full_depth}
+
+    def process_scene_finish(self, handle, save: bool = True):
+        """Blocking half: fetch the packed buffer, unpack, write PNGs."""
+        from pdc_tpu.data.native_loader import (
+            KIND_ENC_GRAY8, KIND_ENC_GRAY16, encode_batch)
+        from pdc_tpu.pipeline.renderer import unpack_scene_products
+
+        structure = handle["structure"]
+        indices = handle["indices"]
+        render_full_depth = handle["render_full_depth"]
+        os.makedirs(structure.masks_dir, exist_ok=True)
+        os.makedirs(structure.rendered_images_dir, exist_ok=True)
+        masks, depth_crop_mm, depth_full_mm = unpack_scene_products(
+            handle["out"], self.H, self.W)
+        writes = []
+        if save:
+            for k, idx in enumerate(indices):
+                writes.append((
+                    os.path.join(structure.masks_dir, "%06d_mask.png" % idx),
+                    KIND_ENC_GRAY8, (masks[k] * 255).astype(np.uint8)))
+                writes.append((
+                    os.path.join(structure.rendered_images_dir,
+                                 "%06d_depth_cropped.png" % idx),
+                    KIND_ENC_GRAY16, depth_crop_mm[k]))
+                if render_full_depth:
+                    writes.append((
+                        os.path.join(structure.rendered_images_dir,
+                                     "%06d_depth.png" % idx),
+                        KIND_ENC_GRAY16, depth_full_mm[k]))
+        if writes:
+            encode_batch(writes, self.H, self.W)
+        return len(indices)
+
     def render_depth_images(self, structure, pose_map=None, save: bool = True):
         """Full-scene depth re-rendering (reference render_depth_images,
         :410-454) -> %06d_depth.png (parallel native PNG writes)."""

@@ -58,16 +58,12 @@ def discover_processed_scenes(logs_dir: str):
     return scenes
 
 
-def run_change_detection_on_scene(processed_dir: str,
-                                  crop_box=None,
-                                  station_config: Optional[dict] = None,
-                                  render_full_depth: bool = True,
-                                  save_fitted_crop_box: bool = True):
-    """One scene: crop-box resolution -> masks -> (optionally) full-scene
-    depth re-render. Returns the number of frames written."""
+def _prepare_scene(processed_dir: str, crop_box=None,
+                   station_config: Optional[dict] = None,
+                   save_fitted_crop_box: bool = True):
+    """Crop-box resolution + geometry load for one scene."""
     if crop_box is None and station_config is not None:
         crop_box = OrientedCropBox.from_station_config(station_config)
-
     cd, structure = ChangeDetection.from_data_folder(processed_dir)
     if crop_box is None:
         crop_box = fit_crop_box(cd.points)
@@ -77,31 +73,68 @@ def run_change_detection_on_scene(processed_dir: str,
             save_yaml(crop_box.to_station_config(),
                       os.path.join(processed_dir, "crop_box.yaml"))
     cd.set_crop_box(crop_box)
+    return cd, structure
 
-    n = cd.run(structure)
-    if render_full_depth:
-        cd.render_depth_images(structure)
-    return n
+
+def run_change_detection_on_scene(processed_dir: str,
+                                  crop_box=None,
+                                  station_config: Optional[dict] = None,
+                                  render_full_depth: bool = True,
+                                  save_fitted_crop_box: bool = True):
+    """One scene: crop-box resolution -> masks -> (optionally) full-scene
+    depth re-render. Returns the number of frames written."""
+    cd, structure = _prepare_scene(processed_dir, crop_box, station_config,
+                                   save_fitted_crop_box)
+    # one fused device dispatch per scene (masks + cropped depth + full
+    # depth, device-side uint8/uint16 encoding); falls back to the two-pass
+    # flow for pair-strategy / point-splat scenes
+    return cd.process_scene(structure, render_full_depth=render_full_depth)
 
 
 def run_change_detection_pipeline(logs_dir: str,
                                   station_config_file: Optional[str] = None,
                                   redo: bool = False,
                                   render_full_depth: bool = True) -> dict:
-    """The all-logs driver. Returns {scene_processed_dir: frames_written}
-    (skipped scenes map to 0)."""
+    """The all-logs driver, software-pipelined one scene deep: scene i's
+    device render + device->host transfer overlap scene i+1's host work
+    (geometry load, crop fit, raster prep) and scene i-1's PNG encode —
+    jax dispatch is asynchronous, so
+    ``ChangeDetection.process_scene_start`` returns as soon as the fused
+    per-scene program is enqueued. Returns {scene_processed_dir:
+    frames_written} (skipped scenes map to 0)."""
     station_config = (load_yaml(station_config_file)
                       if station_config_file else None)
     results = {}
+    pending = None  # (processed_dir, cd, handle) dispatched but not fetched
+
+    def finish(item):
+        processed, cd, handle = item
+        results[processed] = cd.process_scene_finish(handle)
+        logger.info("processed %s: %d frames", processed, results[processed])
+
     for processed in discover_processed_scenes(logs_dir):
         if not redo and already_ran_change_detection(processed):
             logger.info("already ran change detection for %s", processed)
             results[processed] = 0
             continue
-        results[processed] = run_change_detection_on_scene(
-            processed, station_config=station_config,
-            render_full_depth=render_full_depth)
-        logger.info("processed %s: %d frames", processed, results[processed])
+        cd, structure = _prepare_scene(processed,
+                                       station_config=station_config)
+        handle = cd.process_scene_start(structure,
+                                        render_full_depth=render_full_depth)
+        if handle is None:  # two-pass fallback runs synchronously
+            if pending is not None:
+                finish(pending)
+                pending = None
+            results[processed] = cd.process_scene(
+                structure, render_full_depth=render_full_depth)
+            logger.info("processed %s: %d frames", processed,
+                        results[processed])
+            continue
+        if pending is not None:
+            finish(pending)
+        pending = (processed, cd, handle)
+    if pending is not None:
+        finish(pending)
     return results
 
 

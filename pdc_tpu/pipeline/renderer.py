@@ -113,9 +113,16 @@ def _fragments_from_faces(u, v, z, f, height: int, width: int, tile: int,
     tu, tv, tz = u[f], v[f], z[f]
     in_front = jnp.all(tz > 1e-6, axis=1)  # [C]
 
-    # bbox anchor per triangle
-    u0 = jnp.floor(jnp.min(tu, axis=1)).astype(jnp.int32)  # [C]
-    v0 = jnp.floor(jnp.min(tv, axis=1)).astype(jnp.int32)
+    # anchor at the first IN-VIEWPORT pixel center that can be covered: a
+    # center u+0.5 lies in the bbox iff u >= ceil(min-0.5), and centers below
+    # 0 are masked out-of-bounds anyway, so clamping to 0 is exact. This
+    # (instead of floor(min)) lets the binning metric count candidate
+    # centers exactly — typically one power-of-two tile smaller than the
+    # bbox-extent metric, i.e. 4x fewer fragments per downshifted face.
+    u0 = jnp.maximum(
+        jnp.ceil(jnp.min(tu, axis=1) - 0.5), 0.0).astype(jnp.int32)  # [C]
+    v0 = jnp.maximum(
+        jnp.ceil(jnp.min(tv, axis=1) - 0.5), 0.0).astype(jnp.int32)
     px = (u0[:, None] + du[None, :]).astype(jnp.float32) + 0.5  # [C, T2]
     py = (v0[:, None] + dv[None, :]).astype(jnp.float32) + 0.5
 
@@ -172,10 +179,53 @@ def _mesh_zbuf(vertices_world, faces, camera_to_world, K,
     return zbuf
 
 
+def projected_face_pixel_counts(vertices_world, faces, camera_to_world, K,
+                                height: int, width: int, eps: float = 1e-3):
+    """Host-side per-face count of candidate pixel CENTERS under one pose —
+    the exact tile size the rasterizer needs (its block is anchored at
+    ``ceil(min-0.5)``; a center u+0.5 can be covered iff
+    ``ceil(min-0.5) <= u <= floor(max-0.5)``). 0 for faces that cannot
+    produce any fragment (behind the camera, bbox clear of the viewport, or
+    no center inside the bbox) — safe to cull them entirely.
+
+    ``eps`` (pixels) widens the range outward so the float64 host metric
+    never undercounts the float32 device geometry at exact-boundary faces
+    (keeps the scatter/sorted bit-exactness contract)."""
+    import numpy as np
+
+    V = np.asarray(vertices_world, np.float64)
+    T = np.asarray(camera_to_world, np.float64)
+    R, t = T[:3, :3], T[:3, 3]
+    pts_cam = (V - t) @ R
+    z = pts_cam[:, 2]
+    proj = pts_cam @ np.asarray(K, np.float64).T
+    denom = np.where(np.abs(proj[:, 2]) < 1e-9, 1e-9, proj[:, 2])
+    u = proj[:, 0] / denom
+    v = proj[:, 1] / denom
+
+    f = np.asarray(faces, np.int64)
+    tu, tv, tz = u[f], v[f], z[f]
+    # device culls at z > 1e-6 in f32; keep anything that might pass
+    in_front = np.all(tz > 0.5e-6, axis=1)
+    lo_u = np.ceil(tu.min(axis=1) - 0.5 - eps)
+    hi_u = np.floor(tu.max(axis=1) - 0.5 + eps)
+    lo_v = np.ceil(tv.min(axis=1) - 0.5 - eps)
+    hi_v = np.floor(tv.max(axis=1) - 0.5 + eps)
+    # clip the candidate ranges to the viewport (out-of-range centers are
+    # masked fragments on device; they need no tile coverage)
+    cu = np.minimum(hi_u, width - 1) - np.maximum(lo_u, 0) + 1
+    cv = np.minimum(hi_v, height - 1) - np.maximum(lo_v, 0) + 1
+    count = np.maximum(np.maximum(cu, cv), 0)
+    # a face needs BOTH axes to have a candidate center
+    visible = in_front & (cu > 0) & (cv > 0)
+    return np.where(visible, count, 0.0)
+
+
 def bin_faces_by_extent(vertices_world, faces, poses, K, height: int,
                         width: int, min_tile: int = 4, max_tile: int = 64):
     """Partition faces into power-of-two tile bins by their worst-case
-    (max-over-poses) projected bbox extent. The z-buffer scatter cost is
+    (max-over-poses) candidate-pixel-center count (see
+    :func:`projected_face_pixel_counts`). The fragment cost is
     faces x tile^2, so rendering each bin at its own tile instead of one
     blanket tile cuts the update count by ~tile_ratio^2 for the (typically
     ~95%) voxel-scale faces of a TSDF mesh.
@@ -190,7 +240,7 @@ def bin_faces_by_extent(vertices_world, faces, poses, K, height: int,
         poses = poses[None]
     ext = np.zeros(len(faces))
     for pose in poses:
-        ext = np.maximum(ext, projected_face_extents(
+        ext = np.maximum(ext, projected_face_pixel_counts(
             vertices_world, faces, pose, K, height, width))
 
     faces = np.asarray(faces, np.int32)
@@ -215,6 +265,107 @@ def bin_faces_by_extent(vertices_world, faces, poses, K, height: int,
             "mesh rasterization: %d faces project larger than max_tile=%d "
             "and will render truncated", n_trunc, max_tile)
     return bins
+
+
+def prepare_sorted_render(vertices_world, faces, poses, K, height: int,
+                          width: int, min_tile: int = 2, max_tile: int = 64):
+    """ONE host pass producing everything the sorted renderer needs: the
+    per-pose candidate-center counts ([P, F], float64 numpy) drive both the
+    worst-case-over-poses tile binning AND the per-pose face culling, so the
+    mesh is projected once per pose instead of once for binning plus once
+    per bin for culling.
+
+    :return: list of (faces [Fi+1, 3] int32 with a trailing degenerate
+        sentinel row, idx [P, Vmax_i] int32 per-pose visible-face indices
+        padded with the sentinel index Fi, tile)
+    """
+    import numpy as np
+
+    poses = np.asarray(poses, np.float64)
+    if poses.ndim == 2:
+        poses = poses[None]
+    faces = np.asarray(faces, np.int32)
+    counts = np.stack([
+        projected_face_pixel_counts(vertices_world, faces, pose, K, height,
+                                    width)
+        for pose in poses])                       # [P, F]
+    worst = counts.max(axis=0)
+
+    prep = []
+    lo = 0.0
+    tile = min_tile
+    while True:
+        hi = tile if tile < max_tile else np.inf
+        sel = (worst > lo) & (worst <= hi)
+        if sel.any():
+            fb = faces[sel]
+            vis = counts[:, sel] > 0              # [P, Fi]
+            vmax = max(int(vis.sum(axis=1).max()), 1)
+            idx = np.full((len(poses), vmax), len(fb), np.int32)
+            for pi in range(len(poses)):
+                s = np.nonzero(vis[pi])[0]
+                idx[pi, :len(s)] = s
+            prep.append((
+                np.concatenate([fb, np.zeros((1, 3), np.int32)]), idx,
+                int(tile)))
+        if tile >= max_tile:
+            break
+        lo, tile = float(tile), tile * 2
+    if not prep:  # nothing visible under any pose
+        prep.append((np.zeros((1, 3), np.int32),
+                     np.zeros((len(poses), 1), np.int32), min_tile))
+    n_trunc = int((worst > max_tile).sum())
+    if n_trunc:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "mesh rasterization: %d faces project larger than max_tile=%d "
+            "and will render truncated", n_trunc, max_tile)
+    return prep
+
+
+def cull_bins_per_pose(vertices_world, bins, poses, K, height: int,
+                       width: int):
+    """Per-pose face compaction for the sorted renderer: for each (bin,
+    pose) keep only the faces that can produce a fragment under THAT pose
+    (:func:`projected_face_pixel_counts` > 0) and gather them on device with
+    a static-width padded index array.
+
+    The binning above keeps the union of visible faces across all poses; a
+    single camera typically sees a fraction of them, so the per-pose
+    fragment set (and the sorts over it) shrinks by the visibility ratio.
+    Output-exact: a culled face produces only masked fragments either way.
+
+    :param bins: list of (faces [Fi, 3] int32, tile) from
+        :func:`bin_faces_by_extent`
+    :return: (face_bins, idx_bins, tiles) — per bin, faces with one
+        appended degenerate sentinel row [0,0,0] ([Fi+1, 3]), int32 index
+        arrays [P, Vmax_i] padded with the sentinel index Fi, and the tile
+    """
+    import numpy as np
+
+    poses = np.asarray(poses, np.float64)
+    if poses.ndim == 2:
+        poses = poses[None]
+    P = len(poses)
+
+    face_bins, idx_bins, tiles = [], [], []
+    for fb, tile in bins:
+        fb = np.asarray(fb, np.int32)
+        vis = np.zeros((P, len(fb)), bool)
+        for pi, pose in enumerate(poses):
+            vis[pi] = projected_face_pixel_counts(
+                vertices_world, fb, pose, K, height, width) > 0
+        vmax = max(int(vis.sum(axis=1).max()), 1)
+        idx = np.full((P, vmax), len(fb), np.int32)  # sentinel index
+        for pi in range(P):
+            sel = np.nonzero(vis[pi])[0]
+            idx[pi, :len(sel)] = sel
+        # sentinel row: degenerate face -> zero area -> culled on device
+        face_bins.append(np.concatenate([fb, np.zeros((1, 3), np.int32)]))
+        idx_bins.append(idx)
+        tiles.append(int(tile))
+    return face_bins, idx_bins, tiles
 
 
 @functools.partial(jax.jit,
@@ -299,7 +450,7 @@ def _reduce_min_fragments(flat, val, hw: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "tiles"))
-def _render_depth_sorted_many(vertices_world, face_bins, poses, K,
+def _render_depth_sorted_many(vertices_world, face_bins, idx_bins, poses, K,
                               height: int, width: int, tiles: tuple):
     """[P, H, W] depth via SORT-based z-buffering: all (pixel, depth)
     fragments of a frame are sorted lexicographically (lax.sort, 2 keys), so
@@ -307,24 +458,32 @@ def _render_depth_sorted_many(vertices_world, face_bins, poses, K,
     compacted to the front by a second 1-key sort and land with a <= H*W
     scatter. The TPU executes the fragment-scale scatter-min at ~9 ns/update
     (~220 ms of the 254 ms frame at TSDF scale) while the sorts cost ~30 ms
-    each — measured 1.55x end to end (163.9 vs 254.5 ms/frame at 392k
-    faces, tools/tpu_probe_raster.py). Same min over the same fragment set:
+    each — measured 1.55x end to end at 392k faces
+    (tools/tpu_probe_raster.py). Same min over the same fragment set:
     bit-exact vs the scatter path on CPU (tests/test_rasterizer.py); on TPU
     the two differently-fused geometry pipelines may differ in the last
-    float ulp."""
+    float ulp.
+
+    ``idx_bins`` ([P, Vmax_i] per bin, from :func:`cull_bins_per_pose`)
+    gathers each pose's visible faces before fragment generation, so both
+    the geometry math and the sorts run over the per-pose visible set
+    instead of the all-poses union."""
     hw = height * width
 
-    def body(c, pose):
+    def body(c, xs):
+        pose, idxs = xs
         parts = [
-            _face_pixels(vertices_world, fb, pose, K, height, width, tile)
-            for fb, tile in zip(face_bins, tiles)
+            _face_pixels(vertices_world, fb[idx], pose, K, height, width,
+                         tile)
+            for fb, idx, tile in zip(face_bins, idxs, tiles)
         ]
         flat = jnp.concatenate([p[0] for p in parts])
         val = jnp.concatenate([p[1] for p in parts])
         depth = _reduce_min_fragments(flat, val, hw)
         return c, depth.reshape(height, width)
 
-    _, depths = jax.lax.scan(body, 0, jnp.asarray(poses, jnp.float32))
+    _, depths = jax.lax.scan(
+        body, 0, (jnp.asarray(poses, jnp.float32), tuple(idx_bins)))
     return depths
 
 
@@ -337,29 +496,150 @@ def render_depth_from_mesh_sorted_many(vertices_world, faces, poses, K,
     measured 1.55x at TSDF scale (see _render_depth_sorted_many).
 
     The sort materializes every fragment of a frame at once (the scatter
-    path is chunk-bounded instead); when the binned fragment count exceeds
-    ``max_fragments`` — close-up poses pushing many faces into large-tile
-    bins — this falls back to the memory-bounded binned scatter path."""
+    path is chunk-bounded instead); when the per-pose culled fragment count
+    exceeds ``max_fragments`` — close-up poses pushing many faces into
+    large-tile bins — this falls back to the memory-bounded binned scatter
+    path."""
     poses = jnp.asarray(poses, jnp.float32)
-    bins = bin_faces_by_extent(vertices_world, faces, poses, K, height,
-                               width, min_tile=min_tile, max_tile=max_tile)
-    n_fragments = sum(len(fb) * t * t for fb, t in bins)
-    face_bins = tuple(jnp.asarray(fb) for fb, _ in bins)
-    tiles = tuple(int(t) for _, t in bins)
+    poses_b = poses if poses.ndim == 3 else poses[None]
+    prep = prepare_sorted_render(vertices_world, faces, poses_b, K, height,
+                                 width, min_tile=min_tile, max_tile=max_tile)
+    n_fragments = sum(idx.shape[1] * t * t for _, idx, t in prep)
     if n_fragments > max_fragments:
         import logging
 
         logging.getLogger(__name__).info(
             "sorted renderer: %d fragments exceed the %d budget; using the "
             "chunk-bounded scatter path", n_fragments, max_fragments)
+        bins = bin_faces_by_extent(vertices_world, faces, poses, K, height,
+                                   width, min_tile=min_tile,
+                                   max_tile=max_tile)
         return _render_depth_binned_many(
-            jnp.asarray(vertices_world, jnp.float32), face_bins,
-            poses if poses.ndim == 3 else poses[None],
-            jnp.asarray(K, jnp.float32), height, width, tiles)
+            jnp.asarray(vertices_world, jnp.float32),
+            tuple(jnp.asarray(fb) for fb, _ in bins), poses_b,
+            jnp.asarray(K, jnp.float32), height, width,
+            tuple(int(t) for _, t in bins))
     return _render_depth_sorted_many(
-        jnp.asarray(vertices_world, jnp.float32), face_bins,
-        poses if poses.ndim == 3 else poses[None],
-        jnp.asarray(K, jnp.float32), height, width, tiles)
+        jnp.asarray(vertices_world, jnp.float32),
+        tuple(jnp.asarray(fb) for fb, _, _ in prep),
+        tuple(jnp.asarray(idx) for _, idx, _ in prep), poses_b,
+        jnp.asarray(K, jnp.float32), height, width,
+        tuple(t for _, _, t in prep))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "height", "width", "tiles_fg", "tiles_full", "depth_scale"))
+def _render_scene_products(vertices_world, fg_faces, fg_idx, full_faces,
+                           full_idx, poses, K, height: int, width: int,
+                           tiles_fg: tuple, tiles_full: tuple,
+                           depth_scale: float):
+    """The preprocessing pipeline's whole per-scene device program: for every
+    pose, rasterize the crop-filtered foreground mesh AND the full mesh
+    (sorted z-buffering with per-pose culled face sets), derive the
+    crop-strategy object mask (foreground renders anything -> 1), convert
+    both depths to the on-disk uint16 millimetre encoding ON DEVICE, and
+    bit-pack the mask — everything lands in ONE uint16 buffer.
+
+    One dispatch and ONE fetch per scene, and the fetch is essentially the
+    PNG payload: 2 uint16 depths + 1/16 uint16 of packed mask per pixel
+    (~4.1 B/px) instead of three separate float32/uint8 fetches (8 B/px +
+    two extra round trips). Through a thin host link the transfer is the
+    pipeline's floor, so this matters as much as the rasterizer itself.
+
+    :return: [P, 2*hw + ceil(hw/16)] uint16 — per frame
+        ``concat(depth_cropped_mm, depth_full_mm, mask_bits)`` with mask
+        bit i of word w = pixel ``w*16 + i``
+    """
+    hw = height * width
+    n_words = -(-hw // 16)
+    pad = n_words * 16 - hw
+    bit_weights = (jnp.uint16(1) << jnp.arange(16, dtype=jnp.uint16))
+
+    def one_depth(pose, fbs, idxs, tiles):
+        parts = [
+            _face_pixels(vertices_world, fb[i], pose, K, height, width, t)
+            for fb, i, t in zip(fbs, idxs, tiles)
+        ]
+        flat = jnp.concatenate([p[0] for p in parts])
+        val = jnp.concatenate([p[1] for p in parts])
+        return _reduce_min_fragments(flat, val, hw)
+
+    def to_mm(d):
+        return jnp.clip(d * depth_scale, 0, 65535).astype(jnp.uint16)
+
+    def body(c, xs):
+        pose, ifg, ifull = xs
+        d_fg = one_depth(pose, fg_faces, ifg, tiles_fg)
+        d_full = one_depth(pose, full_faces, ifull, tiles_full)
+        mask = (d_fg > 0).astype(jnp.uint16)
+        mask = jnp.pad(mask, (0, pad)).reshape(n_words, 16)
+        mask_bits = jnp.sum(mask * bit_weights[None, :], axis=1,
+                            dtype=jnp.uint16)
+        return c, jnp.concatenate([to_mm(d_fg), to_mm(d_full), mask_bits])
+
+    _, out = jax.lax.scan(
+        body, 0,
+        (jnp.asarray(poses, jnp.float32), tuple(fg_idx), tuple(full_idx)))
+    return out
+
+
+def render_scene_products_start(vertices_world, fg_faces, full_faces, poses,
+                                K, height: int, width: int,
+                                depth_scale: float, min_tile: int = 2,
+                                max_tile: int = 64):
+    """Async half of :func:`render_scene_products`: host-side prep (one
+    projection pass per mesh; see :func:`prepare_sorted_render`) + device
+    DISPATCH. Returns the on-device packed buffer WITHOUT fetching — jax
+    dispatch is asynchronous, so the caller can overlap the next scene's
+    host work (prep, crop fit, PNG encode of the previous scene) with this
+    scene's device render + transfer. Unpack with
+    :func:`unpack_scene_products`."""
+    poses = jnp.asarray(poses, jnp.float32)
+    poses_b = poses if poses.ndim == 3 else poses[None]
+    prep_fg = prepare_sorted_render(vertices_world, fg_faces, poses_b, K,
+                                    height, width, min_tile, max_tile)
+    prep_full = prepare_sorted_render(vertices_world, full_faces, poses_b, K,
+                                      height, width, min_tile, max_tile)
+    return _render_scene_products(
+        jnp.asarray(vertices_world, jnp.float32),
+        tuple(jnp.asarray(fb) for fb, _, _ in prep_fg),
+        tuple(jnp.asarray(idx) for _, idx, _ in prep_fg),
+        tuple(jnp.asarray(fb) for fb, _, _ in prep_full),
+        tuple(jnp.asarray(idx) for _, idx, _ in prep_full),
+        poses_b, jnp.asarray(K, jnp.float32), height, width,
+        tuple(t for _, _, t in prep_fg), tuple(t for _, _, t in prep_full),
+        float(depth_scale))
+
+
+def unpack_scene_products(packed, height: int, width: int):
+    """Host half: fetch (if still on device) + unpack the single buffer.
+
+    :return: (mask [P,H,W] uint8, depth_cropped_mm [P,H,W] uint16,
+        depth_full_mm [P,H,W] uint16) host numpy arrays
+    """
+    import numpy as np
+
+    packed = np.asarray(packed)                   # ONE device->host fetch
+    P = packed.shape[0]
+    hw = height * width
+    depth_crop = packed[:, :hw].reshape(P, height, width)
+    depth_full = packed[:, hw:2 * hw].reshape(P, height, width)
+    words = packed[:, 2 * hw:]
+    bits = (words[:, :, None] >> np.arange(16, dtype=np.uint16)) & 1
+    mask = bits.reshape(P, -1)[:, :hw].reshape(
+        P, height, width).astype(np.uint8)
+    return mask, depth_crop, depth_full
+
+
+def render_scene_products(vertices_world, fg_faces, full_faces, poses, K,
+                          height: int, width: int, depth_scale: float,
+                          min_tile: int = 2, max_tile: int = 64):
+    """Synchronous start+unpack. ``fg_faces`` and ``full_faces`` index the
+    SAME vertex array (the foreground is a crop-box face subset)."""
+    return unpack_scene_products(
+        render_scene_products_start(vertices_world, fg_faces, full_faces,
+                                    poses, K, height, width, depth_scale,
+                                    min_tile, max_tile), height, width)
 
 
 @functools.partial(jax.jit,

@@ -117,3 +117,43 @@ def test_cli_main(logs_dir, capsys):
     main(["--data_dir", logs_dir])
     out = capsys.readouterr().out
     assert "already done" in out
+
+
+def test_process_scene_fused_matches_two_pass(tmp_path):
+    """The fused one-dispatch scene pass (device-side mask + uint16 mm
+    encoding, renderer.render_scene_products) writes byte-identical PNGs to
+    the two-pass run() + render_depth_images() flow."""
+    from PIL import Image
+
+    from pdc_tpu.pipeline.change_detection import ChangeDetection, fit_crop_box
+
+    a = tmp_path / "a" / "scene"
+    b = tmp_path / "b" / "scene"
+    sc = SyntheticScene(width=64, height=48, num_frames=3, seed=4)
+    for d in (a, b):
+        sc.write_scene(str(d))
+
+    outputs = {}
+    for name, d in (("two_pass", a), ("fused", b)):
+        cd, structure = ChangeDetection.from_data_folder(
+            str(d / "processed"))
+        cd.set_crop_box(fit_crop_box(cd.points))
+        if name == "two_pass":
+            n = cd.run(structure)
+            cd.render_depth_images(structure)
+        else:
+            n = cd.process_scene(structure)
+        assert n == 3
+        frames = {}
+        for i in range(3):
+            frames[i] = tuple(
+                np.asarray(Image.open(os.path.join(dirpath, fn % i)))
+                for dirpath, fn in (
+                    (structure.masks_dir, "%06d_mask.png"),
+                    (structure.rendered_images_dir, "%06d_depth_cropped.png"),
+                    (structure.rendered_images_dir, "%06d_depth.png")))
+        outputs[name] = frames
+
+    for i in range(3):
+        for got, want in zip(outputs["fused"][i], outputs["two_pass"][i]):
+            np.testing.assert_array_equal(got, want)

@@ -103,8 +103,23 @@ def main():
 
     # sort-based z-buffering (round 3): the TPU scatter-min measures
     # ~9 ns/update (~220 ms of the 254 ms frame); sorting the (pixel, depth)
-    # fragments and segment-extracting replaces it entirely
-    from pdc_tpu.pipeline.renderer import render_depth_from_mesh_sorted_many
+    # fragments and segment-extracting replaces it entirely.
+    # round 4 shrinks the fragment set itself: candidate-pixel-center
+    # binning (exact anchor) + per-pose face culling
+    from pdc_tpu.pipeline.renderer import (
+        cull_bins_per_pose,
+        render_depth_from_mesh_sorted_many,
+    )
+
+    _, idx_bins, tiles_l = cull_bins_per_pose(verts, bins, poses, scene.K,
+                                              H, W)
+    frag_union = sum(len(fb) * t * t for fb, t in bins)
+    frag_culled = sum(idx.shape[1] * t * t
+                      for idx, t in zip(idx_bins, tiles_l))
+    results["fragments_union"] = int(frag_union)
+    results["fragments_per_pose_culled"] = int(frag_culled)
+    log(f"fragments: union {frag_union/1e6:.1f}M -> per-pose culled "
+        f"{frag_culled/1e6:.1f}M")
 
     def run_sorted():
         d = render_depth_from_mesh_sorted_many(
