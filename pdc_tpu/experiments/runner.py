@@ -21,7 +21,7 @@ import glob
 import json
 import os
 import re
-from typing import Optional
+from typing import Dict, Optional
 
 from pdc_tpu.experiments.protocols import PROTOCOLS, Protocol, Run
 
@@ -42,6 +42,10 @@ class Scale:
     num_eval_pairs: int = 100
     num_matches_per_pair: int = 100
     save_rate: Optional[int] = None  # None -> one checkpoint at the end
+    # extra dotted-key training-config overrides applied to EVERY run
+    # (smoke shrinks the sampling/pool sizes — the 640x480-scale defaults
+    # dominate a tiny-resolution CPU run otherwise)
+    extra_overrides: Optional[Dict[str, object]] = None
 
     @classmethod
     def full(cls):
@@ -50,7 +54,15 @@ class Scale:
     @classmethod
     def smoke(cls):
         return cls(steps=4, width=64, height=48, batch_size=2,
-                   num_eval_pairs=2, num_matches_per_pair=10)
+                   num_eval_pairs=2, num_matches_per_pair=10,
+                   extra_overrides={
+                       "training.num_matching_attempts": 256,
+                       "training.num_non_matches_per_match": 10,
+                       "training.masked_pool_size": 64,
+                       "training.background_pool_size": 64,
+                       "training.num_blind_samples": 64,
+                       "training.steps_per_dispatch": 2,
+                   })
 
 
 def set_nested(cfg: dict, dotted_key: str, value):
@@ -188,6 +200,8 @@ def run_protocol(name: str, scale: Optional[Scale] = None,
             t["batch_size"] = scale.batch_size
         net = cfg["dense_correspondence_network"]
         net["image_width"], net["image_height"] = scale.width, scale.height
+        for k, v in (scale.extra_overrides or {}).items():
+            set_nested(cfg, k, v)
         for k, v in run.overrides.items():
             set_nested(cfg, k, v)
 
