@@ -322,3 +322,57 @@ def test_points_sorted_matches_scatter():
     d_sorted = np.asarray(render_depth_from_points_sorted_many(
         pts, poses, K, H, W))
     np.testing.assert_array_equal(d_scatter, d_sorted)
+
+
+def test_viewport_straddling_quad_exact():
+    """A quad hanging off the viewport edges (bbox min far outside; the
+    raster block anchor clamps to 0) still fills exactly its visible
+    region with analytic depth — in the sorted path AND the blanket-tile
+    scatter path."""
+    from pdc_tpu.pipeline.renderer import render_depth_from_mesh_sorted_many
+
+    # x0 maps to u = 32 + 50*(-1.2)/1.5 = -8 (off-screen left); y0 maps to
+    # v = -16 (off-screen top) — the clamped anchor path
+    verts, faces = _quad(lambda x, y: 1.5, x0=-1.2, x1=0.1, y0=-1.2, y1=0.1)
+    d_sorted = np.asarray(render_depth_from_mesh_sorted_many(
+        verts, faces, EYE, K, H, W, max_tile=128))[0]
+    d_scatter = np.asarray(render_depth_from_mesh(
+        verts, faces, EYE, K, H, W, tile=128))
+    np.testing.assert_array_equal(d_sorted, d_scatter)
+    # visible extent: u in [0, cx + fx*0.1/1.5) = [0, 35.33), v likewise
+    assert d_sorted[10, 0] == pytest.approx(1.5, abs=1e-3)   # left edge
+    assert d_sorted[0, 10] == pytest.approx(1.5, abs=1e-3)   # top edge
+    np.testing.assert_allclose(d_sorted[10, :35], 1.5, atol=1e-3)
+    assert (d_sorted[10, 36:] == 0).all()
+    assert (d_sorted[28:, :] == 0).all()
+
+
+def test_prepare_sorted_render_counts_and_culling():
+    """prepare_sorted_render: bins by candidate-center count (a ~2.2 px
+    bbox triangle needs a tile-2 block, not tile-4) and per-pose culling
+    keeps exactly the faces that can land pixels under each pose."""
+    from pdc_tpu.pipeline.renderer import (
+        prepare_sorted_render,
+        projected_face_pixel_counts,
+    )
+
+    # one small on-screen triangle + one behind the camera + one off-screen
+    verts = np.array([
+        [0.00, 0.00, 1.5], [0.05, 0.00, 1.5], [0.00, 0.05, 1.5],   # ~1.7 px
+        [0.0, 0.0, -1.0], [0.1, 0.0, -1.0], [0.0, 0.1, -1.0],      # behind
+        [9.0, 9.0, 1.5], [9.1, 9.0, 1.5], [9.0, 9.1, 1.5],         # off
+    ], np.float32)
+    faces = np.array([[0, 1, 2], [3, 4, 5], [6, 7, 8]], np.int32)
+    counts = projected_face_pixel_counts(verts, faces, EYE, K, H, W)
+    assert counts[0] > 0 and counts[1] == 0 and counts[2] == 0
+
+    pose2 = EYE.copy()
+    pose2[0, 3] = 50.0  # everything off-screen under the second pose
+    prep = prepare_sorted_render(verts, faces, np.stack([EYE, pose2]),
+                                 K, H, W)
+    (fb, idx, tile), = prep
+    assert tile == 2                      # count metric, not bbox extent
+    assert fb.shape == (2, 3)             # visible face + sentinel row
+    assert idx.shape == (2, 1)
+    assert idx[0, 0] == 0                 # pose 1 sees the triangle
+    assert idx[1, 0] == 1                 # pose 2: padded to the sentinel
