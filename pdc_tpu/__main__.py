@@ -130,6 +130,10 @@ def _cmd_experiment(argv):
     p.add_argument("--max_runs", type=int, default=None,
                    help="truncate the variant grid")
     p.add_argument("--no_eval", action="store_true")
+    p.add_argument("--eval_only", action="store_true",
+                   help="skip training; evaluate the already-trained model "
+                        "folders under logging_dir (resume after a failed "
+                        "eval pass)")
     args = p.parse_args(argv)
 
     from pdc_tpu.experiments import Scale, list_protocols, run_protocol
@@ -151,7 +155,8 @@ def _cmd_experiment(argv):
         scale.steps = args.steps
     run_protocol(args.protocol, scale=scale, data_dir=args.data_dir,
                  dataset_dir=args.dataset_dir, logging_dir=args.logging_dir,
-                 evaluate=not args.no_eval, max_runs=args.max_runs)
+                 train=not args.eval_only, evaluate=not args.no_eval,
+                 max_runs=args.max_runs)
     return 0
 
 

@@ -206,7 +206,14 @@ def run_protocol(name: str, scale: Optional[Scale] = None,
             set_nested(cfg, k, v)
 
         folder = os.path.join(logging_dir, run.name)
-        if train:
+        final_ckpt = os.path.join(folder, "%06d.ckpt" % steps)
+        if train and os.path.exists(final_ckpt):
+            # resume semantics: a run whose endpoint checkpoint exists is
+            # done (re-invocations after a mid-protocol failure — e.g. a
+            # flaky remote backend — retrain only what's missing)
+            print(f"=== [{name}] {run.name} already trained "
+                  f"({final_ckpt}) ===", flush=True)
+        elif train:
             print(f"=== [{name}] training {run.name} ({steps} steps) ===",
                   flush=True)
             trainer = DenseCorrespondenceTraining(config=cfg, dataset=dataset)

@@ -642,6 +642,74 @@ def render_scene_products(vertices_world, fg_faces, full_faces, poses, K,
                                     min_tile, max_tile), height, width)
 
 
+def render_scene_products_sharded(vertices_world, fg_faces, full_faces,
+                                  poses, K, height: int, width: int,
+                                  depth_scale: float, mesh, axis: str = "data",
+                                  min_tile: int = 2, max_tile: int = 64):
+    """Pod-scale preprocessing: the fused per-scene program with the POSES
+    axis sharded over a mesh — each chip rasterizes its own 1/n of the
+    frames (geometry + per-pose cull indices replicated; the per-frame
+    programs are independent, so no collectives are needed until the
+    gather-on-fetch). Reprocessing a whole dataset rides n chips at n x
+    the single-chip frame rate.
+
+    Output-identical to :func:`render_scene_products` (the per-frame
+    program is the same; frames are merely partitioned across chips).
+
+    :return: (mask [P,H,W] uint8, depth_cropped_mm [P,H,W] uint16,
+        depth_full_mm [P,H,W] uint16) host numpy arrays
+    """
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from pdc_tpu.parallel.mesh import get_shard_map
+
+    n = mesh.shape[axis]
+    poses = np.asarray(poses, np.float32)
+    if poses.ndim == 2:
+        poses = poses[None]
+    n_poses = len(poses)
+    pad = (-n_poses) % n
+    if pad:  # replicate the last pose; padded frames dropped after fetch
+        poses = np.concatenate([poses, np.repeat(poses[-1:], pad, axis=0)])
+
+    prep_fg = prepare_sorted_render(vertices_world, fg_faces, poses, K,
+                                    height, width, min_tile, max_tile)
+    prep_full = prepare_sorted_render(vertices_world, full_faces, poses, K,
+                                      height, width, min_tile, max_tile)
+
+    verts = jnp.asarray(vertices_world, jnp.float32)
+    Kf = jnp.asarray(K, jnp.float32)
+    fg_fb = tuple(jnp.asarray(fb) for fb, _, _ in prep_fg)
+    fg_idx = tuple(jnp.asarray(idx) for _, idx, _ in prep_fg)
+    full_fb = tuple(jnp.asarray(fb) for fb, _, _ in prep_full)
+    full_idx = tuple(jnp.asarray(idx) for _, idx, _ in prep_full)
+    tiles_fg = tuple(t for _, _, t in prep_fg)
+    tiles_full = tuple(t for _, _, t in prep_full)
+
+    sm = get_shard_map()
+
+    def local(verts_r, kf_r, fg_fb_r, full_fb_r, poses_l, fg_idx_l,
+              full_idx_l):
+        return _render_scene_products(
+            verts_r, fg_fb_r, fg_idx_l, full_fb_r, full_idx_l, poses_l,
+            kf_r, height=height, width=width, tiles_fg=tiles_fg,
+            tiles_full=tiles_full, depth_scale=float(depth_scale))
+
+    repl, sharded = P(), P(axis)
+    fn = jax.jit(sm(
+        local, mesh=mesh,
+        in_specs=(repl, repl, tuple(repl for _ in fg_fb),
+                  tuple(repl for _ in full_fb), sharded,
+                  tuple(sharded for _ in fg_idx),
+                  tuple(sharded for _ in full_idx)),
+        out_specs=sharded))
+    packed = fn(verts, Kf, fg_fb, full_fb, jnp.asarray(poses), fg_idx,
+                full_idx)
+    mask, crop, full = unpack_scene_products(packed, height, width)
+    return mask[:n_poses], crop[:n_poses], full[:n_poses]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "splat_radius"))
 def render_depth_from_points_sorted_many(points_world, poses, K, height: int,

@@ -444,6 +444,13 @@ class DenseCorrespondenceTraining:
             raise ValueError(
                 f"{'tensor_parallel' if tp > 1 else 'pipeline'}={k} does not "
                 f"divide the {n} visible devices")
+        batch_size = int(t.get("batch_size", 1))
+        if batch_size % (n // k) != 0:
+            raise ValueError(
+                f"training.batch_size={batch_size} must be a multiple of "
+                f"the data axis ({n // k} = {n} devices / "
+                f"{'tensor_parallel' if tp > 1 else 'pipeline'}={k}) — "
+                f"each step's batch is sharded over it")
         from pdc_tpu.parallel.mesh import make_mesh
 
         net_cfg = self._config["dense_correspondence_network"]

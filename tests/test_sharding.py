@@ -60,3 +60,33 @@ def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_sharded_scene_render_matches_single_device():
+    """Pod-scale preprocessing: render_scene_products with the poses axis
+    sharded over the 8-device mesh is output-identical to the single-device
+    fused program — including a non-divisible pose count (pad + drop)."""
+    from pdc_tpu.data.synthetic import SyntheticScene, make_orbit_pose
+    from pdc_tpu.pipeline.change_detection import fit_crop_box
+    from pdc_tpu.pipeline.renderer import (
+        render_scene_products,
+        render_scene_products_sharded,
+    )
+
+    sc = SyntheticScene(width=W, height=H, num_frames=4)
+    verts, faces = sc.fusion_mesh()
+    box = fit_crop_box(verts)
+    inside = box.contains(verts)
+    fg = faces[np.any(inside[faces], axis=1)]
+    mesh = make_mesh(("data",))
+
+    for n_poses in (8, 5):  # divisible and padded
+        poses = np.stack([make_orbit_pose(0.4 * i).astype(np.float32)
+                          for i in range(n_poses)])
+        single = render_scene_products(verts, fg, faces, poses, sc.K,
+                                       H, W, 1000.0)
+        sharded = render_scene_products_sharded(
+            verts, fg, faces, poses, sc.K, H, W, 1000.0, mesh)
+        for got, want in zip(sharded, single):
+            assert got.shape == want.shape == (n_poses, H, W)
+            np.testing.assert_array_equal(got, want)

@@ -104,3 +104,14 @@ def test_bad_divisor_raises(tmp_path, synthetic_dataset):  # noqa: F811
     trainer = DenseCorrespondenceTraining(config=cfg, dataset=synthetic_dataset)
     with pytest.raises(ValueError, match="does not divide"):
         trainer.run()
+
+
+def test_batch_not_multiple_of_data_axis_raises(tmp_path, synthetic_dataset):  # noqa: F811
+    """tensor_parallel=2 on 8 devices leaves a 4-wide data axis; a batch of
+    2 cannot shard over it — the trainer must say so up front (this exact
+    config silently exploded inside pjit before)."""
+    cfg = tiny_config(tmp_path, iters=2, batch=2)
+    cfg["training"].update(tensor_parallel=2)
+    trainer = DenseCorrespondenceTraining(config=cfg, dataset=synthetic_dataset)
+    with pytest.raises(ValueError, match="multiple of.*data axis"):
+        trainer.run()
