@@ -715,7 +715,8 @@ class SpartanDataset:
 
     @staticmethod
     def make_synthetic(num_scenes: int = 2, num_objects: int = 2,
-                       num_test_scenes: int = 0, **scene_kwargs):
+                       num_test_scenes: int = 0, seed_offset: int = 0,
+                       **scene_kwargs):
         """Build a fully in-memory synthetic dataset (tests, benchmarks).
 
         Scenes of the same object share a texture (so across-scene
@@ -724,26 +725,33 @@ class SpartanDataset:
 
         With ``num_test_scenes`` > 0 the dataset gets a real train/test split
         (test scenes use held-out camera-orbit seeds of the same objects);
-        otherwise both modes share the scenes. The generator arguments are
-        recorded in ``self.config`` so the trainer's ``dataset.yaml`` snapshot
-        can reconstruct the dataset (reference evaluation.py:2352-2354)."""
+        otherwise both modes share the scenes. ``seed_offset`` shifts every
+        scene seed (textures/objects unchanged) — two datasets with
+        different offsets are held-out scene sets of the SAME objects, the
+        shape an isolated-vs-cluttered or cross-scene evaluation needs. The
+        generator arguments are recorded in ``self.config`` so the
+        trainer's ``dataset.yaml`` snapshot can reconstruct the dataset
+        (reference evaluation.py:2352-2354)."""
         from pdc_tpu.data.synthetic import SyntheticScene
 
         ds = SpartanDataset()
         ds.config = {"synthetic": dict(num_scenes=num_scenes,
                                        num_objects=num_objects,
                                        num_test_scenes=num_test_scenes,
+                                       seed_offset=seed_offset,
                                        **scene_kwargs)}
         for i in range(num_scenes):
             obj = i % max(num_objects, 1)
-            sc = SyntheticScene(seed=i, texture_seed=obj, **scene_kwargs)
+            sc = SyntheticScene(seed=seed_offset + i, texture_seed=obj,
+                                **scene_kwargs)
             modes = ("train",) if num_test_scenes > 0 else ("train", "test")
             ds.add_scene(SceneData.from_synthetic(sc, name=f"scene_{i:03d}",
                                                   object_id=f"object_{obj}"),
                          modes=modes)
         for j in range(num_test_scenes):
             obj = j % max(num_objects, 1)
-            sc = SyntheticScene(seed=1000 + j, texture_seed=obj, **scene_kwargs)
+            sc = SyntheticScene(seed=1000 + seed_offset + j,
+                                texture_seed=obj, **scene_kwargs)
             ds.add_scene(SceneData.from_synthetic(sc, name=f"test_scene_{j:03d}",
                                                   object_id=f"object_{obj}"),
                          modes=("test",))

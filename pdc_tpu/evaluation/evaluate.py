@@ -419,6 +419,9 @@ class DenseCorrespondenceEvaluation:
             from pdc_tpu.utils.yaml_io import save_yaml
 
             save_yaml(all_stats, os.path.join(output_dir, f"comparison_{mode}.yaml"))
+            import matplotlib.pyplot as plt
+
+            plt.close(fig_axes[0])
         return all_stats
 
     # -- core: one image pair --------------------------------------------------

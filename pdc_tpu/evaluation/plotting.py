@@ -165,6 +165,10 @@ class DenseCorrespondenceEvaluationPlotter:
                         ax.legend()
             if save and output_dir is not None:
                 fig.savefig(os.path.join(output_dir, "quant_plots.png"))
+            if not return_fig_axes:
+                # nobody can overlay onto or close it later — close now
+                # (pyplot retains figures; sweeping many networks leaks)
+                plt.close(fig)
         except ImportError:
             pass
 

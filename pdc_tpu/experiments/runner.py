@@ -96,14 +96,14 @@ def _resolve_dataset(protocol: Protocol, composite: Optional[str],
         ds = SpartanDataset(config=load_yaml(path), data_dir=data_dir,
                             config_dir=os.path.dirname(path))
     else:
+        import zlib
+
         kw = dict(protocol.synthetic)
-        kw.setdefault("width", scale.width)
-        kw.setdefault("height", scale.height)
         kw["width"], kw["height"] = scale.width, scale.height
-        # distinct composites get distinct synthetic seeds so e.g. the
-        # cluttered eval set is not the training set under another name
-        seed_shift = sum(ord(c) for c in name) % 7
-        kw["num_scenes"] = int(kw.get("num_scenes", 2)) + (seed_shift % 2)
+        # distinct composites get distinct SCENE seeds (same objects/
+        # textures) — e.g. the cluttered eval set is held-out scenes, not
+        # the training set under another name
+        kw["seed_offset"] = (zlib.crc32(name.encode()) % 45) * 20
         ds = SpartanDataset.make_synthetic(**kw)
     cache[name] = ds
     return ds
