@@ -78,9 +78,21 @@ class SyntheticScene:
             height=self.height,
         )
         self.K = self.intrinsics.K
+        # ``seed`` varies the camera TRAJECTORY (orbit phase, radius, and
+        # height), not the world: two scenes with different seeds are two
+        # capture logs of the same physical object — so train/test splits
+        # and across-scene evaluation see genuinely held-out viewpoints.
+        # seed=0 keeps the historical canonical orbit exactly.
+        if self.seed:
+            rng = np.random.RandomState(self.seed)
+            phase = rng.uniform(0.0, 2.0 * np.pi)
+            radius = self.radius * rng.uniform(0.85, 1.15)
+            cam_height = self.cam_height * rng.uniform(0.85, 1.15)
+        else:
+            phase, radius, cam_height = 0.0, self.radius, self.cam_height
         self.poses = [
             make_orbit_pose(
-                2.0 * np.pi * i / self.num_frames, self.radius, self.cam_height
+                phase + 2.0 * np.pi * i / self.num_frames, radius, cam_height
             )
             for i in range(self.num_frames)
         ]
