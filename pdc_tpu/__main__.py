@@ -112,14 +112,17 @@ def _cmd_experiment(argv):
     p.add_argument("--steps", type=int, default=None,
                    help="override per-variant training steps "
                         "(default: the notebook's full count)")
-    p.add_argument("--width", type=int, default=640)
-    p.add_argument("--height", type=int, default=480)
+    p.add_argument("--width", type=int, default=None, help="default 640")
+    p.add_argument("--height", type=int, default=None, help="default 480")
     p.add_argument("--batch_size", type=int, default=None)
-    p.add_argument("--num_eval_pairs", type=int, default=100)
-    p.add_argument("--num_matches_per_pair", type=int, default=100)
+    p.add_argument("--num_eval_pairs", type=int, default=None,
+                   help="default 100")
+    p.add_argument("--num_matches_per_pair", type=int, default=None,
+                   help="default 100")
     p.add_argument("--save_rate", type=int, default=None)
     p.add_argument("--smoke", action="store_true",
-                   help="tiny CI-sized run (4 steps, 64x48)")
+                   help="tiny CI-sized run (4 steps, 64x48); explicit "
+                        "sizing flags still override its presets")
     p.add_argument("--data_dir", default=None,
                    help="published pdc data root (default: synthetic "
                         "stand-in dataset)")
@@ -146,13 +149,14 @@ def _cmd_experiment(argv):
     from pdc_tpu.utils.compilation_cache import enable
 
     enable()
-    scale = Scale.smoke() if args.smoke else Scale(
-        steps=args.steps, width=args.width, height=args.height,
-        batch_size=args.batch_size, num_eval_pairs=args.num_eval_pairs,
-        num_matches_per_pair=args.num_matches_per_pair,
-        save_rate=args.save_rate)
-    if args.smoke and args.steps:
-        scale.steps = args.steps
+    # --smoke is a preset, not a lockout: any explicitly-passed sizing flag
+    # overrides the corresponding preset value
+    scale = Scale.smoke() if args.smoke else Scale.full()
+    for field in ("steps", "width", "height", "batch_size",
+                  "num_eval_pairs", "num_matches_per_pair", "save_rate"):
+        val = getattr(args, field)
+        if val is not None:
+            setattr(scale, field, val)
     run_protocol(args.protocol, scale=scale, data_dir=args.data_dir,
                  dataset_dir=args.dataset_dir, logging_dir=args.logging_dir,
                  train=not args.eval_only, evaluate=not args.no_eval,

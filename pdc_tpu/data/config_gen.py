@@ -203,21 +203,26 @@ def resolve_scene_list_path(scene_cfg_file: str, config_dir: Optional[str]) -> s
     / ``multi_object/`` siblings of ``composite/`` under the corpus root
     (reference ``spartan_dataset_masked.py:165-176`` resolves against the
     corpus root; older hand-written composites use explicit relative paths).
-    Resolution order: absolute as-is; then ``config_dir`` itself; then —
-    when ``config_dir`` points at the ``composite/`` subdir — the corpus
-    root and its ``single_object/`` + ``multi_object/`` subdirs. Returns the
-    first existing candidate (or the ``config_dir`` join when none exists,
-    so the caller's error names the natural path)."""
+    Resolution order: absolute as-is; then — when ``config_dir`` points at
+    the ``composite/`` subdir — the corpus ``single_object/`` +
+    ``multi_object/`` siblings and the corpus root; then ``config_dir``
+    itself LAST. The subdirs must come first: several published composites
+    (baymax_1_train, caterpillar_upright, ...) reference a scene list with
+    the SAME filename as the composite, and resolving against ``composite/``
+    first would return the composite itself — whose train list is empty —
+    silently yielding a zero-scene dataset. Returns the first existing
+    candidate (or the ``config_dir`` join when none exists, so the caller's
+    error names the natural path)."""
     if config_dir is None or os.path.isabs(scene_cfg_file):
         return scene_cfg_file
     root = os.path.dirname(config_dir.rstrip(os.sep))
     candidates = [
-        os.path.join(config_dir, scene_cfg_file),
-        os.path.join(root, scene_cfg_file),
         os.path.join(root, "single_object", scene_cfg_file),
         os.path.join(root, "multi_object", scene_cfg_file),
+        os.path.join(root, scene_cfg_file),
+        os.path.join(config_dir, scene_cfg_file),
     ]
-    return next((c for c in candidates if os.path.exists(c)), candidates[0])
+    return next((c for c in candidates if os.path.exists(c)), candidates[-1])
 
 
 def scene_names_in_composite(composite: dict, config_dir: str) -> List[str]:

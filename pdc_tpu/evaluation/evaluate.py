@@ -411,17 +411,19 @@ class DenseCorrespondenceEvaluation:
                 None, label=name, dataframe=df, save=False,
                 previous_fig_axes=fig_axes, return_fig_axes=True)
             all_stats[name] = stats
-        if save and fig_axes is not None and fig_axes[0] is not None:
-            output_dir = self.get_output_dir()
-            os.makedirs(output_dir, exist_ok=True)
-            fig_axes[0].savefig(
-                os.path.join(output_dir, f"comparison_{mode}.png"))
-            from pdc_tpu.utils.yaml_io import save_yaml
+        if fig_axes is not None and fig_axes[0] is not None:
+            if save:
+                output_dir = self.get_output_dir()
+                os.makedirs(output_dir, exist_ok=True)
+                fig_axes[0].savefig(
+                    os.path.join(output_dir, f"comparison_{mode}.png"))
+                from pdc_tpu.utils.yaml_io import save_yaml
 
-            save_yaml(all_stats, os.path.join(output_dir, f"comparison_{mode}.yaml"))
+                save_yaml(all_stats,
+                          os.path.join(output_dir, f"comparison_{mode}.yaml"))
             import matplotlib.pyplot as plt
 
-            plt.close(fig_axes[0])
+            plt.close(fig_axes[0])  # saved or not — never leak the overlay
         return all_stats
 
     # -- core: one image pair --------------------------------------------------

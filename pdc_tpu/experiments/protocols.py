@@ -144,7 +144,10 @@ _register(Protocol(
             "loss_function.M_background": 0.5,
             "dense_correspondence_network.descriptor_dimension": 3,
             "training.learning_rate_decay": 0.5,
-            "training.steps_between_learning_rate_decay": 3000}),
+            "training.steps_between_learning_rate_decay": 3000,
+            # the study IS the per-checkpoint curve — keep every 1k-step
+            # checkpoint (the notebook evaluates each saved iteration)
+            "training.save_rate": 1000}),
     ),
     synthetic=_SINGLE,
 ))

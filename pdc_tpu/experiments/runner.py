@@ -102,8 +102,12 @@ def _resolve_dataset(protocol: Protocol, composite: Optional[str],
         kw["width"], kw["height"] = scale.width, scale.height
         # distinct composites get distinct SCENE seeds (same objects/
         # textures) — e.g. the cluttered eval set is held-out scenes, not
-        # the training set under another name
-        kw["seed_offset"] = (zlib.crc32(name.encode()) % 45) * 20
+        # the training set under another name. Full-width crc32 (stepped by
+        # 1000 to clear the within-dataset test-seed band) makes an
+        # offset collision between two distinct names ~2^-21, vs the 1/45
+        # of a small modulus (offsets stay < 2^31 so every derived
+        # RandomState seed fits uint32).
+        kw["seed_offset"] = (zlib.crc32(name.encode()) % (2 ** 21)) * 1000
         ds = SpartanDataset.make_synthetic(**kw)
     cache[name] = ds
     return ds

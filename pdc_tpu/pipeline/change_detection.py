@@ -407,6 +407,8 @@ class ChangeDetection:
         out = render_scene_products_start(
             self.points, self._fg_faces, full_faces, poses, self.K,
             self.H, self.W, DEPTH_IM_SCALE)
+        if out is None:  # over the fragment budget -> two-pass fallback
+            return None
         return {"out": out, "indices": indices, "structure": structure,
                 "render_full_depth": render_full_depth}
 

@@ -324,50 +324,6 @@ def prepare_sorted_render(vertices_world, faces, poses, K, height: int,
     return prep
 
 
-def cull_bins_per_pose(vertices_world, bins, poses, K, height: int,
-                       width: int):
-    """Per-pose face compaction for the sorted renderer: for each (bin,
-    pose) keep only the faces that can produce a fragment under THAT pose
-    (:func:`projected_face_pixel_counts` > 0) and gather them on device with
-    a static-width padded index array.
-
-    The binning above keeps the union of visible faces across all poses; a
-    single camera typically sees a fraction of them, so the per-pose
-    fragment set (and the sorts over it) shrinks by the visibility ratio.
-    Output-exact: a culled face produces only masked fragments either way.
-
-    :param bins: list of (faces [Fi, 3] int32, tile) from
-        :func:`bin_faces_by_extent`
-    :return: (face_bins, idx_bins, tiles) — per bin, faces with one
-        appended degenerate sentinel row [0,0,0] ([Fi+1, 3]), int32 index
-        arrays [P, Vmax_i] padded with the sentinel index Fi, and the tile
-    """
-    import numpy as np
-
-    poses = np.asarray(poses, np.float64)
-    if poses.ndim == 2:
-        poses = poses[None]
-    P = len(poses)
-
-    face_bins, idx_bins, tiles = [], [], []
-    for fb, tile in bins:
-        fb = np.asarray(fb, np.int32)
-        vis = np.zeros((P, len(fb)), bool)
-        for pi, pose in enumerate(poses):
-            vis[pi] = projected_face_pixel_counts(
-                vertices_world, fb, pose, K, height, width) > 0
-        vmax = max(int(vis.sum(axis=1).max()), 1)
-        idx = np.full((P, vmax), len(fb), np.int32)  # sentinel index
-        for pi in range(P):
-            sel = np.nonzero(vis[pi])[0]
-            idx[pi, :len(sel)] = sel
-        # sentinel row: degenerate face -> zero area -> culled on device
-        face_bins.append(np.concatenate([fb, np.zeros((1, 3), np.int32)]))
-        idx_bins.append(idx)
-        tiles.append(int(tile))
-    return face_bins, idx_bins, tiles
-
-
 @functools.partial(jax.jit,
                    static_argnames=("height", "width", "tiles", "chunk"))
 def _render_depth_binned_many(vertices_world, face_bins, poses, K,
@@ -464,7 +420,7 @@ def _render_depth_sorted_many(vertices_world, face_bins, idx_bins, poses, K,
     the two differently-fused geometry pipelines may differ in the last
     float ulp.
 
-    ``idx_bins`` ([P, Vmax_i] per bin, from :func:`cull_bins_per_pose`)
+    ``idx_bins`` ([P, Vmax_i] per bin, from :func:`prepare_sorted_render`)
     gathers each pose's visible faces before fragment generation, so both
     the geometry math and the sorts run over the per-pose visible set
     instead of the all-poses union."""
@@ -511,14 +467,14 @@ def render_depth_from_mesh_sorted_many(vertices_world, faces, poses, K,
         logging.getLogger(__name__).info(
             "sorted renderer: %d fragments exceed the %d budget; using the "
             "chunk-bounded scatter path", n_fragments, max_fragments)
-        bins = bin_faces_by_extent(vertices_world, faces, poses, K, height,
-                                   width, min_tile=min_tile,
-                                   max_tile=max_tile)
+        # reuse prep's bins (strip the sentinel rows) — the same partition
+        # bin_faces_by_extent would produce, without re-projecting the mesh
+        # for every pose a second time
         return _render_depth_binned_many(
             jnp.asarray(vertices_world, jnp.float32),
-            tuple(jnp.asarray(fb) for fb, _ in bins), poses_b,
+            tuple(jnp.asarray(fb[:-1]) for fb, _, _ in prep), poses_b,
             jnp.asarray(K, jnp.float32), height, width,
-            tuple(int(t) for _, t in bins))
+            tuple(t for _, _, t in prep))
     return _render_depth_sorted_many(
         jnp.asarray(vertices_world, jnp.float32),
         tuple(jnp.asarray(fb) for fb, _, _ in prep),
@@ -586,20 +542,37 @@ def _render_scene_products(vertices_world, fg_faces, fg_idx, full_faces,
 def render_scene_products_start(vertices_world, fg_faces, full_faces, poses,
                                 K, height: int, width: int,
                                 depth_scale: float, min_tile: int = 2,
-                                max_tile: int = 64):
+                                max_tile: int = 64,
+                                max_fragments: int = 64_000_000):
     """Async half of :func:`render_scene_products`: host-side prep (one
     projection pass per mesh; see :func:`prepare_sorted_render`) + device
     DISPATCH. Returns the on-device packed buffer WITHOUT fetching — jax
     dispatch is asynchronous, so the caller can overlap the next scene's
     host work (prep, crop fit, PNG encode of the previous scene) with this
     scene's device render + transfer. Unpack with
-    :func:`unpack_scene_products`."""
+    :func:`unpack_scene_products`.
+
+    Returns None when the combined per-pose fragment count exceeds
+    ``max_fragments`` (close-up poses pushing many faces into large-tile
+    bins; the sort materializes every fragment at once) — the caller should
+    fall back to the chunk-bounded two-pass flow. Pass
+    ``max_fragments=None`` to disable the budget."""
     poses = jnp.asarray(poses, jnp.float32)
     poses_b = poses if poses.ndim == 3 else poses[None]
     prep_fg = prepare_sorted_render(vertices_world, fg_faces, poses_b, K,
                                     height, width, min_tile, max_tile)
     prep_full = prepare_sorted_render(vertices_world, full_faces, poses_b, K,
                                       height, width, min_tile, max_tile)
+    n_fragments = sum(idx.shape[1] * t * t
+                      for _, idx, t in prep_fg + prep_full)
+    if max_fragments is not None and n_fragments > max_fragments:
+        import logging
+
+        logging.getLogger(__name__).info(
+            "fused scene render: %d fragments exceed the %d budget; caller "
+            "should use the chunk-bounded two-pass flow", n_fragments,
+            max_fragments)
+        return None
     return _render_scene_products(
         jnp.asarray(vertices_world, jnp.float32),
         tuple(jnp.asarray(fb) for fb, _, _ in prep_fg),
@@ -634,12 +607,15 @@ def unpack_scene_products(packed, height: int, width: int):
 def render_scene_products(vertices_world, fg_faces, full_faces, poses, K,
                           height: int, width: int, depth_scale: float,
                           min_tile: int = 2, max_tile: int = 64):
-    """Synchronous start+unpack. ``fg_faces`` and ``full_faces`` index the
-    SAME vertex array (the foreground is a crop-box face subset)."""
+    """Synchronous start+unpack (no fragment budget — callers that need the
+    memory-bounded fallback go through ``ChangeDetection.process_scene``).
+    ``fg_faces`` and ``full_faces`` index the SAME vertex array (the
+    foreground is a crop-box face subset)."""
     return unpack_scene_products(
         render_scene_products_start(vertices_world, fg_faces, full_faces,
                                     poses, K, height, width, depth_scale,
-                                    min_tile, max_tile), height, width)
+                                    min_tile, max_tile, max_fragments=None),
+        height, width)
 
 
 def render_scene_products_sharded(vertices_world, fg_faces, full_faces,

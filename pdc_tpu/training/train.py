@@ -521,6 +521,7 @@ class DenseCorrespondenceTraining:
         # weights, not the input pipeline, are the constraint.
         self._pp_meta = None
         train_step = self._setup_model_parallel_step(loss_cfg, assembler_cfg, W)
+        model_parallel_active = train_step is not None
 
         # Default fast path: cache the frame stacks in device HBM and send
         # only frame indices per step (zero per-step image transfer). Falls
@@ -587,8 +588,11 @@ class DenseCorrespondenceTraining:
         if cache is None and train_step is None:
             train_step = make_train_step(self._model, self._tx, loss_cfg,
                                          assembler_cfg, W)
-        if scanned_step is None and (t.get("data_parallel") or t.get("fsdp")):
+        if (scanned_step is None and not model_parallel_active
+                and (t.get("data_parallel") or t.get("fsdp"))):
             # never train single-chip while the user believes DP is on
+            # (the model-parallel meshes already carry a data axis, so
+            # TP/PP runs are NOT single-chip — don't warn there)
             logger.warning(
                 "training.data_parallel/fsdp IGNORED: multi-chip training "
                 "needs the device-cache scanned path (>1 device, matrix "

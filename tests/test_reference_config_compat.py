@@ -205,3 +205,31 @@ def test_published_composite_loads_through_dataset(tmp_path):
     assert pair.rgb_a.ndim == 3
     ds.set_test_mode()
     assert ds.get_random_scene_name() == small["test"][0]
+
+
+def test_resolve_scene_list_prefers_scene_dirs_over_composite_shadow():
+    """Several published composites reference a scene list with the SAME
+    filename as the composite itself (baymax_1_train, caterpillar_upright,
+    ...). Resolution must land on the single_object/multi_object list, not
+    the composite file — resolving to the composite silently yields a
+    zero-scene dataset."""
+    import os
+
+    from pdc_tpu.data.config_gen import (
+        resolve_scene_list_path,
+        scene_names_in_composite,
+    )
+    from pdc_tpu.utils.yaml_io import load_yaml
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs", "dataset")
+    comp_dir = os.path.join(root, "composite")
+    for name in ("baymax_1_train.yaml", "starbot_1_train.yaml",
+                 "caterpillar_upright.yaml",
+                 "caterpillar_single_scene_test.yaml", "entire_dataset.yaml"):
+        resolved = resolve_scene_list_path(name, comp_dir)
+        assert os.path.normpath(resolved) != os.path.normpath(
+            os.path.join(comp_dir, name)), name
+        assert os.path.exists(resolved), (name, resolved)
+        comp = load_yaml(os.path.join(comp_dir, name))
+        scenes = scene_names_in_composite(comp, comp_dir)
+        assert scenes, f"{name} resolved to an empty scene set"

@@ -107,15 +107,14 @@ def main():
     # round 4 shrinks the fragment set itself: candidate-pixel-center
     # binning (exact anchor) + per-pose face culling
     from pdc_tpu.pipeline.renderer import (
-        cull_bins_per_pose,
+        prepare_sorted_render,
         render_depth_from_mesh_sorted_many,
     )
 
-    _, idx_bins, tiles_l = cull_bins_per_pose(verts, bins, poses, scene.K,
-                                              H, W)
-    frag_union = sum(len(fb) * t * t for fb, t in bins)
-    frag_culled = sum(idx.shape[1] * t * t
-                      for idx, t in zip(idx_bins, tiles_l))
+    prep = prepare_sorted_render(verts, faces, poses, scene.K, H, W,
+                                 min_tile=2)
+    frag_union = sum((len(fb) - 1) * t * t for fb, _, t in prep)
+    frag_culled = sum(idx.shape[1] * t * t for _, idx, t in prep)
     results["fragments_union"] = int(frag_union)
     results["fragments_per_pose_culled"] = int(frag_culled)
     log(f"fragments: union {frag_union/1e6:.1f}M -> per-pose culled "

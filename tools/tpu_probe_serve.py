@@ -25,7 +25,8 @@ import time
 import numpy as np
 
 
-def blast(server, frames, op, queries, num_clients, per_client):
+def blast(server, frames, op, queries, num_clients, per_client,
+          encoding=None, response_dtype="float32"):
     from pdc_tpu.apps.serve import DescriptorClient
 
     host, port = server.address
@@ -38,9 +39,10 @@ def blast(server, frames, op, queries, num_clients, per_client):
                 for j in range(per_client):
                     f = frames[(ci * per_client + j) % len(frames)]
                     if op == "descriptors":
-                        c.descriptors(f)
+                        c.descriptors(f, encoding=encoding,
+                                      response_dtype=response_dtype)
                     else:
-                        c.best_match(f, queries)
+                        c.best_match(f, queries, encoding=encoding)
                     done[ci] += 1
         except Exception as e:  # pragma: no cover
             errs.append(f"client {ci}: {e}")
@@ -90,19 +92,29 @@ def main():
         try:
             # small priming pass so steady-state timing excludes first-touch
             blast(server, frames, "best_match", queries, 8, 2)
-            for op, clients, per in (("best_match", 64, 8),
-                                     ("descriptors", 32, 4)):
+            # wire variants (round 4): jpeg upload shrinks the 0.92 MB
+            # frame to tens of KB (best_match becomes RTT-bound, not
+            # upload-bound); f16 response halves the descriptors downlink
+            for op, clients, per, enc, rdt in (
+                    ("best_match", 64, 8, None, "float32"),
+                    ("best_match", 64, 8, "jpeg", "float32"),
+                    ("descriptors", 32, 4, None, "float32"),
+                    ("descriptors", 32, 4, "jpeg", "float16")):
                 rate, dt, total = blast(server, frames, op, queries,
-                                        clients, per)
+                                        clients, per, encoding=enc,
+                                        response_dtype=rdt)
                 d = server.stats["dispatches"]
-                results[f"{mode}_{op}"] = {
+                tag = f"{mode}_{op}" + (f"_{enc}" if enc else "")
+                if rdt != "float32":
+                    tag += f"_{rdt}"
+                results[tag] = {
                     "frames_per_sec": round(rate, 1),
                     "total_frames": total, "wall_s": round(dt, 2),
                     "clients": clients,
                 }
-                print(f"[{mode}] {op}: {rate:.1f} frames/s "
-                      f"({total} frames, {clients} clients, {dt:.2f}s, "
-                      f"{d} cumulative dispatches)", flush=True)
+                print(f"[{mode}] {op} enc={enc} rdt={rdt}: {rate:.1f} "
+                      f"frames/s ({total} frames, {clients} clients, "
+                      f"{dt:.2f}s, {d} cumulative dispatches)", flush=True)
         finally:
             server.shutdown()
 
