@@ -255,12 +255,19 @@ class DescriptorServer:
 
     def warmup(self):
         """Compile the forward for every bucket (first 640x480 compiles are
-        minutes through the axon tunnel — do them before accepting load)."""
+        minutes through the axon tunnel — do them before accepting load),
+        plus every power-of-two descriptor-gather shape each bucket can
+        produce (see _run_batch)."""
         for b in self._buckets:
             z = jnp.zeros((b, self._H, self._W, 3), jnp.uint8)
             q = jnp.zeros((b, self._Q, self._D), jnp.float32)
             v = jnp.zeros((b, self._Q), bool)
-            jax.block_until_ready(self._forward(self._variables, z, q, v))
+            out, _, _ = self._forward(self._variables, z, q, v)
+            jax.block_until_ready(out)
+            m = 1
+            while m <= b:
+                jax.block_until_ready(out[jnp.zeros((m,), jnp.int32)])
+                m <<= 1
 
     def serve_forever(self):
         self._batcher.start()
@@ -335,8 +342,19 @@ class DescriptorServer:
                 self._variables, jnp.asarray(frames),
                 jnp.asarray(queries), jnp.asarray(valid))
             need = [i for i, r in enumerate(batch) if r.queries is None]
-            desc_h = (np.asarray(out[jnp.asarray(need, jnp.int32)])
-                      if need else None)
+            if need:
+                # pad the gather to a power-of-two length: every distinct
+                # index-vector SHAPE is a separate compiled program, and
+                # compiles through a remote runtime cost seconds — pow2
+                # padding caps the shape set at log2(bucket) per bucket
+                # (primed in warmup), at <=2x fetched rows
+                m = 1
+                while m < len(need):
+                    m <<= 1
+                idx = (need + [need[0]] * (m - len(need)))[:m]
+                desc_h = np.asarray(out[jnp.asarray(idx, jnp.int32)])
+            else:
+                desc_h = None
             desc_pos = {i: k for k, i in enumerate(need)}
             uv_h = np.asarray(uv) if valid.any() else None
             dist_h = np.asarray(dist) if valid.any() else None
