@@ -125,3 +125,19 @@ def test_orb_matching_comparison(tmp_path):
         assert os.path.getsize(png) > 0
     with pytest.raises(ValueError):
         DCE.single_image_pair_sift_analysis(ds, name, 0, 1, detector="surf")
+
+
+def test_finding_correspondences_example(tmp_path):
+    """Headless analog of pytorch-finding-correspondences.ipynb: plots both
+    figures, reports valid counts and the timed device dispatch."""
+    import finding_correspondences
+
+    r = finding_correspondences.main([
+        "--width", "64", "--height", "48", "--num_attempts", "20",
+        "--num_attempts_timed", "500", "--num_non_matches_per_match", "4",
+        "--output_dir", str(tmp_path)])
+    assert 0 < r["num_valid"] <= 20
+    assert 0 < r["timed_valid"] <= 500
+    assert r["timed_seconds"] > 0
+    for p in r["plots"]:
+        assert os.path.getsize(p) > 0
