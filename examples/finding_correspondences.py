@@ -69,6 +69,11 @@ def main(argv=None):
     rgb_a, depth_a, mask_a, pose_a = dataset.get_rgbd_mask_pose(scene, idx_a)
     idx_b = dataset.get_img_idx_with_different_pose(scene, pose_a,
                                                     num_attempts=50)
+    if idx_b is None:
+        raise SystemExit(
+            f"scene {scene!r}: no frame with a sufficiently different pose "
+            f"from frame {idx_a} after 50 attempts (near-static camera?); "
+            "try --scene or a different --seed")
     rgb_b, depth_b, mask_b, pose_b = dataset.get_rgbd_mask_pose(scene, idx_b)
     K = dataset.get_camera_intrinsics(scene).K
 

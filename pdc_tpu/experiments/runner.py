@@ -116,7 +116,9 @@ def _resolve_dataset(protocol: Protocol, composite: Optional[str],
 def _checkpoint_iterations(model_folder: str):
     its = []
     for p in glob.glob(os.path.join(model_folder, "*.ckpt")):
-        m = re.match(r"^(\d{6})\.ckpt$", os.path.basename(p))
+        # %06d zero-pads but does not truncate: steps >= 1e6 yield 7+ digits
+        # (same guard as dcn.find_latest_checkpoint)
+        m = re.match(r"^(\d{6,})\.ckpt$", os.path.basename(p))
         if m:
             its.append(int(m.group(1)))
     return sorted(its)

@@ -88,8 +88,20 @@ def se3_from_dict(d):
     Format (reference utils.py:204-225):
         {"quaternion": {"w": .., "x": .., "y": .., "z": ..},
          "translation": {"x": .., "y": .., "z": ..}}
+
+    The rotation key may be spelled ``quaternion``, ``orientation`` or
+    ``rotation`` depending on the producing convention (reference
+    utils.getQuaternionFromDict, utils.py:78-95).
     """
-    q = d["quaternion"]
+    q = None
+    for name in ("quaternion", "orientation", "rotation"):
+        if name in d:
+            q = d[name]
+            break
+    if q is None:
+        raise ValueError(
+            "pose dict has no quaternion/orientation/rotation key: "
+            f"{sorted(d)}")
     t = d["translation"]
     return se3_from_quat_trans(
         [q["w"], q["x"], q["y"], q["z"]], [t["x"], t["y"], t["z"]]

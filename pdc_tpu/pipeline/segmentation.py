@@ -78,6 +78,13 @@ def _neighbor_pairs(points: np.ndarray, radius: float,
     n = len(points)
     if n == 0:
         return (np.empty(0, np.int64), np.empty(0, np.int64))
+    finite = np.isfinite(points).all(axis=1)
+    if not finite.all():
+        # NaN/inf points (PCL's is_dense=False case) get no neighbors; a
+        # single bad point must not poison the grid extents for the rest
+        fidx = np.nonzero(finite)[0]
+        s, d = _neighbor_pairs(points[finite], radius, max_pairs)
+        return fidx[s], fidx[d]
     ijk = _grid_keys(points, radius)
     keys = _pack_keys(ijk)
     order = np.argsort(keys, kind="stable")
@@ -119,6 +126,16 @@ def _neighbor_pairs(points: np.ndarray, radius: float,
                 qi = np.nonzero(hit)[0]
                 b_starts = starts[pos[qi]]
                 b_counts = ends[pos[qi]] - b_starts
+                # the memory hazard is the CANDIDATE expansion below, not the
+                # post-filter kept pairs — bound it before allocating (a
+                # radius ~ cloud extent puts everything in one cell: n^2
+                # candidates)
+                cand = int(b_counts.sum())
+                if total + cand > max_pairs:
+                    raise ValueError(
+                        f"neighbor-candidate expansion exceeds {max_pairs} "
+                        "pairs; raise max_pairs, shrink the radius, or "
+                        "voxel_down_sample first")
                 # expand: query index repeated per bucket occupant
                 reps = np.repeat(qi, b_counts)
                 flat = np.concatenate(
@@ -149,6 +166,7 @@ def voxel_down_sample(points: np.ndarray, voxel_size: float) -> np.ndarray:
     the input (deterministic for a given input ordering).
     """
     points = np.asarray(points, np.float64)
+    points = points[np.isfinite(points).all(axis=1)]  # PCL skips non-finite
     if len(points) == 0:
         return points.reshape(0, 3)
     keys = _pack_keys(_grid_keys(points, float(voxel_size)))
@@ -211,6 +229,11 @@ def fit_plane_ransac(points: np.ndarray,
     dist = np.abs(pts @ normals.T + ds)  # [N,I]
     counts = np.where(ok, (dist <= distance_threshold).sum(axis=0), 0)
     best = int(np.argmax(counts))
+    if counts[best] == 0:
+        # every 3-point sample was degenerate (collinear/duplicate input) —
+        # a valid hypothesis always counts its own sample points as inliers
+        raise ValueError("RANSAC found no valid plane hypothesis "
+                         "(all sampled point triples were degenerate)")
     normal, d = normals[best], float(ds[best])
     inliers = dist[:, best] <= distance_threshold
     if refine and inliers.sum() >= 3:
@@ -244,12 +267,17 @@ def segment_table(points: np.ndarray,
     if off.any() and np.median(signed[off]) < 0:
         normal, d, signed = -normal, -d, -signed
     above = off & (signed > above_table)
+    below = off & (signed < 0)
     return {
         "normal": normal,
         "d": d,
         "table_mask": inliers,
         "above_mask": above,
-        "below_mask": off & ~above,
+        # strictly the under-side of the plane — up-side points inside the
+        # (threshold, above_table] band are near_mask, NOT below (a caller
+        # dropping below_mask must not delete low-lying object geometry)
+        "below_mask": below,
+        "near_mask": off & ~above & ~below,
         "table": pts[inliers],
         "above": pts[above],
     }
@@ -270,22 +298,25 @@ def euclidean_cluster(points: np.ndarray, radius: float,
     """
     pts = np.asarray(points, np.float64)
     n = len(pts)
-    parent = np.arange(n)
-
-    def find(i: int) -> int:
-        root = i
-        while parent[root] != root:
-            root = parent[root]
-        while parent[i] != root:  # path compression
-            parent[i], i = root, parent[i]
-        return root
-
+    finite = np.isfinite(pts).all(axis=1)
+    if not finite.all():
+        out = np.full(n, -1, np.int64)  # PCL skips non-finite points
+        out[finite] = euclidean_cluster(pts[finite], radius,
+                                        min_cluster_size)
+        return out
     src, dst = _neighbor_pairs(pts, radius)
-    for i, j in zip(src.tolist(), dst.tolist()):
-        ri, rj = find(i), find(j)
-        if ri != rj:
-            parent[rj] = ri
-    roots = np.fromiter((find(i) for i in range(n)), np.int64, n)
+    # vectorized connected components: min-label propagation over the edge
+    # list with pointer jumping (O(E) numpy work per round, O(log diameter)
+    # rounds) — a per-edge Python union-find loop dominates runtime on dense
+    # clouds with tens of millions of edges
+    roots = np.arange(n)
+    while True:
+        nxt = roots.copy()
+        np.minimum.at(nxt, src, roots[dst])  # pull each neighborhood's min
+        nxt = np.minimum(nxt, nxt[nxt])      # pointer jumping
+        if np.array_equal(nxt, roots):
+            break
+        roots = nxt
     uniq, inverse, counts = np.unique(roots, return_inverse=True,
                                       return_counts=True)
     # relabel by decreasing size
@@ -300,12 +331,15 @@ def euclidean_cluster(points: np.ndarray, radius: float,
 def remove_radius_outliers(points: np.ndarray, radius: float,
                            min_neighbors: int = 2
                            ) -> Tuple[np.ndarray, np.ndarray]:
-    """PCL ``RadiusOutlierRemoval``: keep points with >= min_neighbors
-    other points within ``radius``.  Returns (filtered_points, keep_mask)."""
+    """PCL ``RadiusOutlierRemoval``: keep points whose radius search finds
+    >= min_neighbors points.  PCL's radiusSearch over the same cloud counts
+    the query point itself (distance 0), so the count here is self + others
+    — PCL-tuned ``min_neighbors`` values transfer unchanged.  Returns
+    (filtered_points, keep_mask)."""
     pts = np.asarray(points, np.float64)
     src, _ = _neighbor_pairs(pts, radius)
-    degree = np.bincount(src, minlength=len(pts))
-    keep = degree >= min_neighbors
+    degree = np.bincount(src, minlength=len(pts)) + 1  # + self, as in PCL
+    keep = (degree >= min_neighbors) & np.isfinite(pts).all(axis=1)
     return pts[keep], keep
 
 

@@ -251,3 +251,76 @@ def test_view_params_from_intrinsics_centered_and_offset():
     assert p2["window_center"][0] == pytest.approx(-2 * 10 / 640)
     assert p2["window_center"][1] == pytest.approx(2 * -10 / 480)
     assert p2["aspect_scale"] == pytest.approx(1.2)
+
+
+def test_non_finite_points_do_not_poison_neighbors():
+    """A single NaN point (PCL is_dense=False) must not corrupt the grid
+    hash for the rest of the cloud (int64-cast NaN poisons the extents)."""
+    pts = np.array([[0, 0, 0], [0.001, 0, 0], [np.nan, 0, 0], [5.0, 5, 5]])
+    labels = euclidean_cluster(pts, 0.01)
+    assert labels[0] == labels[1]          # 1 mm apart -> same cluster
+    assert labels[2] == -1                 # NaN point skipped
+    assert labels[3] != labels[0]
+
+    _, keep = remove_radius_outliers(pts, radius=0.01, min_neighbors=2)
+    assert keep[0] and keep[1] and not keep[2]
+
+    down = voxel_down_sample(pts, 0.0005)
+    assert np.isfinite(down).all() and len(down) == 3  # NaN row dropped
+
+
+def test_radius_outlier_counts_include_self_like_pcl():
+    """PCL's radiusSearch counts the query point itself: an isolated PAIR
+    survives min_neighbors=2 (count self + 1 other)."""
+    pts = np.array([[0.0, 0, 0], [0.005, 0, 0], [9.0, 9, 9]])
+    _, keep = remove_radius_outliers(pts, radius=0.01, min_neighbors=2)
+    assert keep[0] and keep[1] and not keep[2]
+
+
+def test_degenerate_ransac_raises():
+    line = np.stack([np.linspace(0, 1, 50)] + [np.zeros(50)] * 2, axis=1)
+    with pytest.raises(ValueError, match="degenerate"):
+        fit_plane_ransac(line, refine=False)
+
+
+def test_segment_table_near_band_not_below():
+    """Up-side points inside (threshold, above_table] are near_mask, not
+    below_mask — a caller dropping below must not delete low objects."""
+    rng = np.random.default_rng(11)
+    table = np.column_stack([rng.uniform(0, 1, (400, 2)),
+                             rng.normal(0, 0.001, 400)])
+    obj = rng.normal(0, 0.005, size=(30, 3)) + [0.5, 0.5, 0.10]
+    low = np.array([[0.5, 0.5, 0.03]])     # 3 cm up: in the near band
+    under = np.array([[0.5, 0.5, -0.30]])
+    pts = np.vstack([table, obj, low, under])
+    seg = segment_table(pts, distance_threshold=0.005, above_table=0.05)
+    assert seg["normal"][2] > 0.99  # majority of off-plane mass is above
+    assert seg["above_mask"][400:430].mean() > 0.9
+    assert not seg["below_mask"][430]
+    assert seg["near_mask"][430]
+    assert seg["below_mask"][431]
+    assert not seg["above_mask"][431]
+
+
+def test_neighbor_candidate_explosion_raises_before_allocating():
+    from pdc_tpu.pipeline.segmentation import _neighbor_pairs
+
+    pts = np.random.default_rng(0).uniform(0, 0.001, (600, 3))
+    with pytest.raises(ValueError, match="max_pairs"):
+        _neighbor_pairs(pts, radius=1.0, max_pairs=10_000)
+
+
+def test_pose_dict_key_spellings():
+    """Reference getQuaternionFromDict accepts quaternion/orientation/
+    rotation spellings (utils.py:78-95)."""
+    from pdc_tpu.geom.transforms import se3_from_dict
+    from pdc_tpu.geom.view_utils import transform_from_pose
+
+    q = {"w": 1.0, "x": 0.0, "y": 0.0, "z": 0.0}
+    t = {"x": 1.0, "y": 2.0, "z": 3.0}
+    T0 = se3_from_dict({"quaternion": q, "translation": t})
+    for key in ("orientation", "rotation"):
+        np.testing.assert_array_equal(
+            transform_from_pose({key: q, "translation": t}), T0)
+    with pytest.raises(ValueError, match="quaternion"):
+        se3_from_dict({"translation": t})
