@@ -132,6 +132,13 @@ def _cmd_experiment(argv):
     p.add_argument("--logging_dir", default=None)
     p.add_argument("--max_runs", type=int, default=None,
                    help="truncate the variant grid")
+    p.add_argument("--run_filter", default=None,
+                   help="regex selecting a subset of the variant grid by "
+                        "run name (e.g. one multi_object grid cell)")
+    p.add_argument("--seeds", type=int, default=1,
+                   help="replicate every selected run under N training "
+                        "seeds (training.seed=1..N); result.json gains "
+                        "cross-seed mean/min/max/spread aggregates")
     p.add_argument("--no_eval", action="store_true")
     p.add_argument("--eval_only", action="store_true",
                    help="skip training; evaluate the already-trained model "
@@ -160,7 +167,8 @@ def _cmd_experiment(argv):
     run_protocol(args.protocol, scale=scale, data_dir=args.data_dir,
                  dataset_dir=args.dataset_dir, logging_dir=args.logging_dir,
                  train=not args.eval_only, evaluate=not args.no_eval,
-                 max_runs=args.max_runs)
+                 max_runs=args.max_runs, run_filter=args.run_filter,
+                 seeds=args.seeds)
     return 0
 
 

@@ -393,12 +393,14 @@ class DenseCorrespondenceEvaluation:
         return df
 
     def compare_networks(self, network_names=None, mode: str = "test",
-                         save: bool = True):
+                         save: bool = True, tag: str = None):
         """Multi-network CDF overlay: evaluate each registered network and
         plot all curves in one figure via the plotter's ``previous_fig_axes``
         mechanics (the multi-curve comparison the reference's evaluation
         notebooks build by hand). Returns {name: stats} and writes
-        ``comparison_<mode>.png`` under output_dir."""
+        ``comparison_<mode>[_<tag>].png`` under output_dir (``tag``
+        disambiguates overlays when networks are grouped by their own train
+        composite rather than pooled on one dataset)."""
         from pdc_tpu.evaluation.plotting import DenseCorrespondenceEvaluationPlotter
 
         if network_names is None:
@@ -415,12 +417,12 @@ class DenseCorrespondenceEvaluation:
             if save:
                 output_dir = self.get_output_dir()
                 os.makedirs(output_dir, exist_ok=True)
-                fig_axes[0].savefig(
-                    os.path.join(output_dir, f"comparison_{mode}.png"))
+                stem = f"comparison_{mode}" + (f"_{tag}" if tag else "")
+                fig_axes[0].savefig(os.path.join(output_dir, stem + ".png"))
                 from pdc_tpu.utils.yaml_io import save_yaml
 
                 save_yaml(all_stats,
-                          os.path.join(output_dir, f"comparison_{mode}.yaml"))
+                          os.path.join(output_dir, stem + ".yaml"))
             import matplotlib.pyplot as plt
 
             plt.close(fig_axes[0])  # saved or not — never leak the overlay

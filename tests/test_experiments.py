@@ -99,3 +99,47 @@ def test_multi_object_truncated_smoke(tmp_path):
     # scored on both the isolated and cluttered evaluation sets
     assert "analysis_isolated_scene" in info
     assert "analysis_cluttered_scene" in info
+
+
+def test_seed_replication_aggregates(tmp_path):
+    """--seeds N replicates every run under distinct training seeds and the
+    summary carries cross-seed mean/min/max/spread (VERDICT r4 task 2)."""
+    summary = run_protocol(
+        "domain_randomization", scale=Scale.smoke(), seeds=2,
+        run_filter="^baymax_standard", logging_dir=str(tmp_path / "dr"))
+    assert set(summary["networks"]) == {
+        "baymax_standard_3__seed1", "baymax_standard_3__seed2"}
+    # each replica trained with its own seed, recorded in the run overrides
+    seeds = {summary["networks"][n]["overrides"]["training.seed"]
+             for n in summary["networks"]}
+    assert seeds == {1, 2}
+    agg = summary["seed_aggregates"]["baymax_standard_3"]["test"]
+    for k in ("pck_at_5px", "pck_at_10px"):
+        a = agg[k]
+        assert a["n"] == 2
+        assert a["min"] <= a["mean"] <= a["max"]
+        assert a["spread"] == pytest.approx(a["max"] - a["min"])
+
+
+def test_run_filter_unmatched_raises():
+    with pytest.raises(ValueError):
+        run_protocol("domain_randomization", scale=Scale.smoke(),
+                     run_filter="no_such_run")
+
+
+def test_per_run_composite_scored_on_own_dataset(tmp_path):
+    """A run with its own train composite (benchmark's shoes_consistent_3)
+    is evaluated on THAT composite, not the protocol default — the
+    reference's run_evaluation_on_network loads each network's model-folder
+    dataset (ADVICE r4 medium)."""
+    summary = run_protocol(
+        "benchmark", scale=Scale.smoke(), logging_dir=str(tmp_path / "b"))
+    nets = summary["networks"]
+    assert nets["cbs_3"]["test_composite"] == (
+        "caterpillar_baymax_starbot_all_front_single_only.yaml")
+    assert nets["shoes_consistent_3"]["test_composite"] == (
+        "shoe_train_all_shoes.yaml")
+    # one overlay per composite group
+    assert os.path.exists(tmp_path / "b" / "comparison_test.png")
+    assert os.path.exists(
+        tmp_path / "b" / "comparison_test_shoe_train_all_shoes.png")
