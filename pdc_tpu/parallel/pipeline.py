@@ -517,3 +517,67 @@ def make_pp_train_step(model, tx, loss_cfg, assembler_cfg, image_width: int,
         donate_argnums=(0,),
     )
     return jitted, pp_state, meta
+
+
+def make_frozen_bn_train_step(model, tx, loss_cfg, assembler_cfg,
+                              image_width: int, state, image_hw):
+    """Single-device oracle for the pipelined step: the IDENTICAL math
+    (frozen-BN forward, same assembler keys, same loss composition, same
+    optax update) with no mesh and no packing. The pipelined trainer's loss
+    trajectory must match this step's trajectory to float-reassociation
+    tolerance — this is what `tests/test_trainer_model_parallel.py` and
+    ``__graft_entry__.dryrun_multichip`` check #10 assert, replacing the
+    earlier finiteness-only check. (Frozen BN at *init* normalizes with
+    mean 0 / var 1 running stats, so early-step losses can legitimately
+    spike by 10-100x before the optimizer adapts — the oracle reproduces
+    that trajectory exactly, distinguishing frozen-BN semantics from a
+    pipeline-schedule bug.)
+
+    :return: jitted ``step(state, batch, key) -> (state, metrics)`` over a
+        regular ``TrainState`` (batch_stats left untouched, as in the
+        pipelined step).
+    """
+    from pdc_tpu.training.train import pick_assembly
+
+    H, W = image_hw
+    assemble_batch, compose = pick_assembly(assembler_cfg)
+
+    def loss_fn(params, batch_stats, img_a, img_b, indices):
+        B = img_a.shape[0]
+        out = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            jnp.concatenate([img_a, img_b], axis=0), train=False)
+        D = out.shape[-1]
+        pred = out.reshape(2 * B, H * W, D)
+        terms = jax.vmap(
+            lambda pa, pb, s: compose(pa, pb, s, loss_cfg, image_width)
+        )(pred[:B], pred[B:], indices)
+        non_empty = (indices.match_type >= 0).astype(jnp.float32)
+        denom = jnp.maximum(jnp.sum(non_empty), 1.0)
+        loss = jnp.sum(terms.loss * non_empty) / denom
+
+        def avg(x):
+            return jnp.sum(x * non_empty) / denom
+
+        metrics = {
+            "loss": loss,
+            "match_loss": avg(terms.match_loss),
+            "masked_non_match_loss": avg(terms.masked_non_match_loss),
+            "background_non_match_loss": avg(terms.background_non_match_loss),
+            "blind_non_match_loss": avg(terms.blind_non_match_loss),
+            "num_valid_matches": jnp.sum(indices.matches_valid) / denom,
+        }
+        return loss, metrics
+
+    def step(st, batch, key):
+        img_a, img_b, indices = assemble_batch(key, batch, assembler_cfg)
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            st.params, st.batch_stats, img_a, img_b, indices)
+        updates, new_opt = tx.update(grads, st.opt_state, st.params)
+        return st.replace(
+            step=st.step + 1,
+            params=optax.apply_updates(st.params, updates),
+            opt_state=new_opt,
+        ), metrics
+
+    return jax.jit(step, donate_argnums=(0,))
