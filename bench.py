@@ -39,6 +39,77 @@ import numpy as np
 BASELINE_IMAGES_PER_SEC = 13.0  # reference forward throughput, GTX 1080 Ti
 
 
+def verify_pallas_native():
+    """Compile the Pallas kernels WITHOUT interpret mode on the current
+    backend and check them against the XLA reference formulations (VERDICT
+    r4 task 6: CI runs them interpret-only on CPU; this gate runs on the
+    real chip every bench round, so a JAX upgrade that breaks the native
+    lowering fails loudly). Returns a small report dict with ``ok``."""
+    import jax
+    import jax.numpy as jnp
+
+    from pdc_tpu.losses.matrix_loss import pooled_non_match_loss_from_rows
+    from pdc_tpu.ops.pallas_kernels import pallas_best_match
+    from pdc_tpu.ops.pallas_loss import pooled_hinge
+
+    report = {"ok": True, "checks": {}}
+
+    # 1) streaming best-match (running min in VMEM) vs plain argmin
+    for hw, q, d in ((3072, 16, 8), (5000, 4, 3)):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(hw))
+        res_flat = jax.random.normal(k1, (hw, d))
+        queries = jax.random.normal(k2, (q, d))
+        idx, dist = pallas_best_match(res_flat, queries, interpret=False)
+        d2 = np.asarray(
+            jnp.sum((res_flat[:, None, :] - queries[None, :, :]) ** 2, -1))
+        true_min = d2.min(0)
+        # tie-tolerant argmin check: the chosen pixel's TRUE fp32 distance
+        # must equal the true minimum (which pixel wins a near-tie is not a
+        # correctness property)
+        chosen = d2[np.asarray(idx), np.arange(q)]
+        idx_bad = int((np.abs(chosen - true_min) > 1e-5).sum())
+        dist_err = float(np.abs(np.asarray(dist)
+                                - np.sqrt(true_min)).max())
+        ok = idx_bad == 0 and dist_err < 1e-3
+        report["checks"][f"best_match_{hw}x{q}x{d}"] = {
+            "ok": ok, "bad_idx": idx_bad, "dist_err": dist_err}
+        report["ok"] &= ok
+
+    # 2) fused pooled-hinge fwd + grads vs the XLA reference formulation
+    rng = np.random.default_rng(0)
+    Nm, P, D, W_IMG = 700, 256, 3, 64
+    da = jnp.asarray(rng.standard_normal((Nm, D)), jnp.float32) * 0.3
+    db = jnp.asarray(rng.standard_normal((P, D)), jnp.float32) * 0.3
+    uv_b = jnp.asarray(np.stack([rng.integers(0, W_IMG, Nm),
+                                 rng.integers(0, 48, Nm)], 1), jnp.float32)
+    mvalid = jnp.asarray(rng.random(Nm) < 0.8)
+    pool_b = jnp.asarray(rng.integers(0, W_IMG * 48, P), jnp.int32)
+    pvalid = jnp.asarray(rng.random(P) < 0.8)
+    pu = (pool_b % W_IMG).astype(jnp.float32)
+    pv = (pool_b // W_IMG).astype(jnp.float32)
+
+    def f_ref(da, db):
+        return pooled_non_match_loss_from_rows(
+            da, db, uv_b, mvalid, pool_b, pvalid, W_IMG, M=0.5)[0]
+
+    def f_pal(da, db):
+        return pooled_hinge(
+            da, db, uv_b[:, 0], uv_b[:, 1], mvalid.astype(jnp.float32),
+            pu, pv, pvalid.astype(jnp.float32), 0.5, False, 50.0, False)[0]
+
+    (l_ref, g_ref) = jax.value_and_grad(f_ref, argnums=(0, 1))(da, db)
+    (l_pal, g_pal) = jax.value_and_grad(f_pal, argnums=(0, 1))(da, db)
+    loss_err = abs(float(l_pal) - float(l_ref)) / max(abs(float(l_ref)), 1e-9)
+    g_err = max(float(np.abs(np.asarray(gp) - np.asarray(gr)).max())
+                for gp, gr in zip(g_pal, g_ref))
+    ok = loss_err < 1e-4 and g_err < 1e-4
+    report["checks"]["pooled_hinge_fwd_bwd"] = {
+        "ok": ok, "loss_rel_err": loss_err, "grad_abs_err": g_err}
+    report["ok"] &= ok
+    report["ok"] = bool(report["ok"])
+    return report
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -106,10 +177,16 @@ def main():
         int8_ips = measure(mq)
     images_per_sec = int8_ips if int8_ips else bf16_ips
 
+    pallas_native = None
     if on_tpu:
         mfu = bf16_ips * 200.2e9 / 197e12  # fwd GFLOPs / v5e bf16 peak
         print(f"bf16: {bf16_ips:.0f} img/s (MFU {mfu:.1%}); "
               f"int8 static-PTQ serving: {int8_ips:.0f} img/s", file=sys.stderr)
+        # native (non-interpret) Pallas regression gate: fail the round's
+        # bench loudly if the native lowering broke (CI is interpret-only)
+        pallas_native = verify_pallas_native()
+        print(f"pallas native check: {pallas_native}", file=sys.stderr)
+        assert pallas_native["ok"], pallas_native
     result = {
         "metric": "descriptor_inference_images_per_sec_per_chip_640x480",
         "value": round(images_per_sec, 2),
@@ -119,6 +196,8 @@ def main():
     if int8_ips:
         result["bf16_images_per_sec"] = round(bf16_ips, 2)
         result["note"] = "value = int8 static-PTQ serving path (accuracy-neutral; trained_models/quantized_serving/)"
+    if pallas_native is not None:
+        result["pallas_native_ok"] = pallas_native["ok"]
     print(json.dumps(result))
 
 

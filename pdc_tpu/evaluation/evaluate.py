@@ -75,7 +75,11 @@ def _match_statistics_device(depth_a, depth_b, mask_b, uv_a, uv_b,
 
     rnorm = jnp.sum(jnp.square(res_b_flat), axis=1)  # [HW]
     qnorm = jnp.sum(jnp.square(queries), axis=1)  # [N]
-    cross = jnp.dot(res_b_flat, queries.T, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: eval distances must be fp32-true — the default
+    # bf16 MXU pass loses ~1e-1 near zero through the norm-expansion
+    # cancellation (see ops/matching.py best_matches_batch)
+    cross = jnp.dot(res_b_flat, queries.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     dist2 = jnp.maximum(rnorm[:, None] - 2.0 * cross + qnorm[None, :], 0.0)  # [HW, N]
     dist = jnp.sqrt(dist2)
 

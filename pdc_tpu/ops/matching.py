@@ -76,7 +76,13 @@ def best_matches_batch(queries, res, mask=None, prefer_pallas: bool = True):
     rnorm = jnp.sum(jnp.square(res_flat), axis=1)  # [HW]
     qnorm = jnp.sum(jnp.square(queries), axis=1)  # [Q]
     # [HW, Q] cross term on the MXU
-    cross = jnp.dot(res_flat, queries.T, preferred_element_type=jnp.float32)
+    # precision=HIGHEST: the TPU MXU multiplies in bf16 by default, and the
+    # rnorm - 2*cross + qnorm cancellation near zero amplifies that to
+    # ~1e-1 distance error on near-matches (caught by bench.py's native
+    # Pallas gate, round 5). D <= 16 makes this matmul bandwidth-bound, so
+    # the extra passes are free; eval-facing distances must be fp32-true.
+    cross = jnp.dot(res_flat, queries.T, preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST)
     dist2 = rnorm[:, None] - 2.0 * cross + qnorm[None, :]
     if mask is not None:
         blocked = (jnp.asarray(mask).reshape(-1) == 0).astype(jnp.float32)

@@ -43,8 +43,10 @@ def _best_match_kernel(resT_ref, q_ref, rnorm_ref, minval_ref, minidx_ref):
         minidx_ref[:] = jnp.zeros_like(minidx_ref[:])
 
     scores = jnp.dot(
-        q_ref[:], resT_ref[:], preferred_element_type=jnp.float32
-    )  # [Q, T] on the MXU
+        q_ref[:], resT_ref[:], preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )  # [Q, T] on the MXU; HIGHEST = fp32-true passes (bf16 default loses
+    # ~1e-1 through the norm-expansion cancellation — bench.py native gate)
     # squared distance minus the per-query constant ||q||^2 (added back by
     # the caller; it does not affect the argmin)
     dist2 = rnorm_ref[:] - 2.0 * scores  # [Q, T] via broadcast of [1, T]

@@ -121,7 +121,8 @@ def make_pixel_sharded_best_match(mesh: Mesh, axis: str = "data"):
     def local(res_flat, queries):
         # res_flat: [HW/n, D] local shard
         rnorm = jnp.sum(jnp.square(res_flat), axis=1)
-        cross = jnp.dot(res_flat, queries.T, preferred_element_type=jnp.float32)
+        cross = jnp.dot(res_flat, queries.T, preferred_element_type=jnp.float32,
+                        precision=jax.lax.Precision.HIGHEST)
         dist2 = rnorm[:, None] - 2.0 * cross + jnp.sum(jnp.square(queries), axis=1)[None, :]
         local_idx = jnp.argmin(dist2, axis=0)  # [Q]
         local_min = jnp.take_along_axis(dist2, local_idx[None, :], axis=0)[0]
