@@ -71,7 +71,33 @@ class HeatmapEngine:
         return out
 
 
-class HeatmapVisualization:
+def compose_target_panel(tgt_bgr, heat, best_uv):
+    """The target-window composite the interactive loop shows: 50/50 blend
+    of the target frame with the grayscale heat image, red reticle on the
+    best match (reference live_heatmap_visualization.py:254-331). Split out
+    of the cv2 event loop so the visual output is golden-testable headless
+    (tests/test_qualitative_goldens.py).
+
+    :param tgt_bgr: [H, W, 3] uint8 target frame (BGR)
+    :param heat: [H, W] float heat in [0, 1] (HeatmapEngine query output)
+    :return: [H, W, 3] uint8 BGR panel
+    """
+    from pdc_tpu.utils.visualization import draw_reticle
+
+    heat = np.asarray(heat, np.float64)
+    heat_color = (np.stack([heat] * 3, -1) * 255).astype(np.uint8)
+    try:
+        import cv2
+
+        blended = cv2.addWeighted(np.asarray(tgt_bgr), 0.5, heat_color,
+                                  0.5, 0)
+    except ImportError:
+        # addWeighted rounds half away from zero; match it exactly
+        blended = np.floor(
+            0.5 * np.asarray(tgt_bgr, np.float64)
+            + 0.5 * heat_color.astype(np.float64) + 0.5).astype(np.uint8)
+    return draw_reticle(blended, int(best_uv[0]), int(best_uv[1]),
+                        (0, 0, 255))
     """cv2 UI wrapper (reference HeatmapVisualization)."""
 
     def __init__(self, dataset, model_folders: List[str], variance: float = 0.03,
@@ -126,9 +152,7 @@ class HeatmapVisualization:
             cv2.imshow("source", src)
             best_uv, _, heat = results[0]
             tgt = cv2.cvtColor(self._rgb_b, cv2.COLOR_RGB2BGR)
-            heat_color = (np.stack([heat] * 3, -1) * 255).astype(np.uint8)
-            blended = cv2.addWeighted(tgt, 0.5, heat_color, 0.5, 0)
-            draw_reticle(blended, int(best_uv[0]), int(best_uv[1]), (0, 0, 255))
+            blended = compose_target_panel(tgt, heat, best_uv)
             cv2.imshow("target", blended)
 
         cv2.setMouseCallback("source", on_mouse)

@@ -96,6 +96,34 @@ def encode_frame(rgb_u8: np.ndarray, encoding: str, quality: int = 90) -> bytes:
         return bio.getvalue()
 
 
+def encoded_image_dims(data: bytes):
+    """(height, width) parsed from a PNG/JPEG header, or None if the bytes
+    are not a recognizable image. Lets the serving daemon reject a crafted
+    small payload that would DECODE to a multi-GB allocation (cv2.imdecode
+    permits ~2^30 pixels) before paying for the decode."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        # 8-byte signature, 4-byte IHDR length + type, then W/H big-endian
+        w = int.from_bytes(data[16:20], "big")
+        h = int.from_bytes(data[20:24], "big")
+        return h, w
+    if data[:2] == b"\xff\xd8":
+        # JPEG: walk marker segments to the first SOFn frame header
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        i = 2
+        while i + 9 < len(data) and data[i] == 0xFF:
+            marker = data[i + 1]
+            if marker in sof:
+                h = int.from_bytes(data[i + 5:i + 7], "big")
+                w = int.from_bytes(data[i + 7:i + 9], "big")
+                return h, w
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+                i += 2
+                continue
+            i += 2 + int.from_bytes(data[i + 2:i + 4], "big")
+    return None
+
+
 def decode_frame(data: bytes, encoding: str) -> np.ndarray:
     """Inverse of :func:`encode_frame`: compressed bytes -> RGB uint8."""
     try:
@@ -268,6 +296,12 @@ class DescriptorServer:
             while m <= b:
                 jax.block_until_ready(out[jnp.zeros((m,), jnp.int32)])
                 m <<= 1
+            if b & (b - 1):
+                # non-power-of-two bucket (mesh-sharded buckets are n*m with
+                # n = data-axis size): _run_batch clamps its pad to the full
+                # bucket, so prime THAT shape too — otherwise a seconds-long
+                # remote compile lands on a live request batch
+                jax.block_until_ready(out[jnp.zeros((b,), jnp.int32)])
 
     def serve_forever(self):
         self._batcher.start()
@@ -351,6 +385,10 @@ class DescriptorServer:
                 m = 1
                 while m < len(need):
                     m <<= 1
+                # clamp to the bucket: for non-pow2 buckets the next power
+                # of two can exceed b, which is a shape warmup never primed;
+                # the full-bucket gather is always valid and always primed
+                m = min(m, b)
                 idx = (need + [need[0]] * (m - len(need)))[:m]
                 desc_h = np.asarray(out[jnp.asarray(idx, jnp.int32)])
             else:
@@ -438,6 +476,14 @@ class DescriptorServer:
             raise ValueError(f"shape {shape} != served {expect}")
         if encoding == "raw":
             return np.frombuffer(payload, np.uint8).reshape(shape)
+        # bound the DECODED size before decoding: a kilobyte-scale crafted
+        # PNG can declare gigapixel dims and cv2.imdecode would allocate
+        # them — parse the header dims and require the served H x W
+        dims = encoded_image_dims(payload)
+        if dims != (self._H, self._W):
+            raise ValueError(
+                f"{encoding} header dims {dims} != served "
+                f"({self._H}, {self._W})")
         rgb = decode_frame(payload, encoding)
         if list(rgb.shape) != expect:
             raise ValueError(

@@ -375,23 +375,44 @@ class ChangeDetection:
         """
         handle = self.process_scene_start(structure, pose_map=pose_map,
                                           render_full_depth=render_full_depth)
-        if handle is None:
-            n = self.run(structure, pose_map=pose_map, save=save)
-            if render_full_depth:
-                self.render_depth_images(structure, pose_map=pose_map,
-                                         save=save)
-            return n
+        if handle is None or handle is self.OVER_BUDGET:
+            return self.process_scene_two_pass(
+                structure, pose_map=pose_map, save=save,
+                render_full_depth=render_full_depth)
         return self.process_scene_finish(handle, save=save)
+
+    def process_scene_two_pass(self, structure, pose_map=None,
+                               save: bool = True,
+                               render_full_depth: bool = True):
+        """The chunk-bounded fallback (:meth:`run` +
+        :meth:`render_depth_images`) as one call, so a caller that already
+        learned the fused path is unusable (``process_scene_start``
+        returning None / OVER_BUDGET) can skip straight here — exactly the
+        heaviest scenes used to pay ``process_scene_start``'s full per-pose
+        host prep twice via the ``process_scene`` re-entry."""
+        n = self.run(structure, pose_map=pose_map, save=save)
+        if render_full_depth:
+            self.render_depth_images(structure, pose_map=pose_map,
+                                     save=save)
+        return n
+
+    # over-budget marker: the fused render's host prep RAN but the fragment
+    # count exceeded the budget — callers go straight to the two-pass flow
+    # instead of re-entering process_scene (which would repeat the prep)
+    OVER_BUDGET = "over_budget"
 
     def process_scene_start(self, structure, pose_map=None,
                             render_full_depth: bool = True):
         """Async half of :meth:`process_scene`: host prep + device DISPATCH
         (no fetch — jax dispatch is asynchronous). Returns a handle for
-        :meth:`process_scene_finish`, or None when the scene needs the
-        two-pass fallback (no faces / pair strategy / forced tile), in which
-        case the caller should use :meth:`process_scene`. The all-logs
-        driver overlaps scene i+1's host work with scene i's device render
-        + transfer this way."""
+        :meth:`process_scene_finish`; or None when the scene structurally
+        needs the two-pass fallback (no faces / pair strategy / forced
+        tile); or :attr:`OVER_BUDGET` when the fused render's fragment
+        count exceeds the budget — in both fallback cases the caller should
+        use :meth:`process_scene_two_pass` (NOT :meth:`process_scene`,
+        which would repeat the per-pose host prep). The all-logs driver
+        overlaps scene i+1's host work with scene i's device render +
+        transfer this way."""
         if (self.faces is None or self.background_points is not None
                 or self.raster_tile is not None):
             return None
@@ -408,7 +429,7 @@ class ChangeDetection:
             self.points, self._fg_faces, full_faces, poses, self.K,
             self.H, self.W, DEPTH_IM_SCALE)
         if out is None:  # over the fragment budget -> two-pass fallback
-            return None
+            return self.OVER_BUDGET
         return {"out": out, "indices": indices, "structure": structure,
                 "render_full_depth": render_full_depth}
 

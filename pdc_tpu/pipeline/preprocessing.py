@@ -121,11 +121,14 @@ def run_change_detection_pipeline(logs_dir: str,
                                        station_config=station_config)
         handle = cd.process_scene_start(structure,
                                         render_full_depth=render_full_depth)
-        if handle is None:  # two-pass fallback runs synchronously
+        if handle is None or handle is cd.OVER_BUDGET:
+            # two-pass fallback runs synchronously; go straight there —
+            # re-entering process_scene would repeat process_scene_start's
+            # full per-pose host prep on exactly the heaviest scenes
             if pending is not None:
                 finish(pending)
                 pending = None
-            results[processed] = cd.process_scene(
+            results[processed] = cd.process_scene_two_pass(
                 structure, render_full_depth=render_full_depth)
             logger.info("processed %s: %d frames", processed,
                         results[processed])

@@ -157,3 +157,40 @@ def test_process_scene_fused_matches_two_pass(tmp_path):
     for i in range(3):
         for got, want in zip(outputs["fused"][i], outputs["two_pass"][i]):
             np.testing.assert_array_equal(got, want)
+
+
+def test_over_budget_scene_preps_once(tmp_path, monkeypatch):
+    """When the fused render is over the fragment budget, the driver must
+    go straight to the two-pass flow — NOT re-enter process_scene, which
+    repeats process_scene_start's full per-pose host prep on exactly the
+    heaviest scenes (ADVICE r4). The budget path is simulated by forcing
+    render_scene_products_start to report over-budget (None)."""
+    import pdc_tpu.pipeline.renderer as renderer
+    from pdc_tpu.pipeline.change_detection import ChangeDetection
+
+    root = tmp_path / "logs"
+    sc = SyntheticScene(width=64, height=48, num_frames=3, seed=2)
+    sc.write_scene(str(root / "scene_hot"))
+
+    calls = {"n": 0}
+    real = renderer.render_scene_products_start
+
+    def counting_over_budget(*args, **kwargs):
+        calls["n"] += 1
+        return real(*args, **kwargs, max_fragments=0)  # always over budget
+
+    monkeypatch.setattr(renderer, "render_scene_products_start",
+                        counting_over_budget)
+
+    # the sentinel is distinguishable from the structural-fallback None
+    cd, structure = ChangeDetection.from_data_folder(
+        str(root / "scene_hot" / "processed"))
+    from pdc_tpu.pipeline.change_detection import fit_crop_box
+
+    cd.set_crop_box(fit_crop_box(cd.points))
+    assert cd.process_scene_start(structure) is ChangeDetection.OVER_BUDGET
+    calls["n"] = 0
+
+    res = run_change_detection_pipeline(str(root), redo=True)
+    assert list(res.values()) == [3]  # frames still written via two-pass
+    assert calls["n"] == 1, f"host prep ran {calls['n']}x for one scene"

@@ -357,3 +357,68 @@ def test_mixed_descriptor_and_best_match_batch(server, dcn):
     for i in (1, 3):
         uv, dist = results[i]
         assert uv.shape == (2, 2) and dist.shape == (2,)
+
+
+def test_encoded_image_dims_parses_png_and_jpeg():
+    from pdc_tpu.apps.serve import encode_frame, encoded_image_dims
+
+    rgb = _frame(11)
+    assert encoded_image_dims(encode_frame(rgb, "png")) == (H, W)
+    assert encoded_image_dims(encode_frame(rgb, "jpeg")) == (H, W)
+    assert encoded_image_dims(b"not an image") is None
+
+
+def test_decode_bomb_rejected_before_decode(server):
+    """A kilobyte-scale crafted PNG declaring gigapixel dims must be
+    rejected from its HEADER (ADVICE r4: cv2.imdecode would otherwise
+    allocate the decoded size), and the connection stays usable."""
+    import json
+    import socket
+
+    # valid PNG signature + IHDR declaring 30000x30000
+    bomb = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+            + (30000).to_bytes(4, "big") + (30000).to_bytes(4, "big")
+            + b"\x08\x02\x00\x00\x00" + b"\x00" * 64)
+    host, port = server.address
+    with socket.create_connection((host, port), timeout=30) as s:
+        rf = s.makefile("rb")
+        s.sendall(json.dumps({
+            "op": "descriptors", "shape": [H, W, 3], "encoding": "png",
+            "payload_len": len(bomb)}).encode() + b"\n")
+        s.sendall(bomb)
+        resp = json.loads(rf.readline())
+        assert not resp["ok"] and "header dims" in resp["error"]
+    # a fresh well-formed request still works
+    with _client(server) as c:
+        out = c.descriptors(_frame(12))
+    assert out.shape == (H, W, D)
+
+
+def test_non_pow2_bucket_gather_clamped(dcn):
+    """Mesh-sharded buckets are n*m with n = data-axis size, not
+    necessarily a power of two. _run_batch's descriptor-gather pad must
+    clamp to the bucket (ADVICE r4: the next power of two above a non-pow2
+    bucket is a shape warmup never primed)."""
+    if len(jax.devices()) < 6:
+        pytest.skip("needs >= 6 devices for a non-pow2 data axis")
+    from jax.sharding import Mesh
+
+    from pdc_tpu.apps.serve import _Request
+
+    mesh = Mesh(np.array(jax.devices()[:6]), ("data",))
+    s = DescriptorServer(dcn, port=0, max_batch=6, max_wait_ms=20.0,
+                         mesh=mesh)
+    assert 6 in s._buckets  # the non-pow2 bucket under test
+    s.warmup()
+    s.start()  # shutdown() joins serve_forever — it must have started
+    try:
+        # 5 descriptor requests (queries=None): pad would be 8 > bucket 6
+        batch = [_Request(_frame(20 + i)) for i in range(5)]
+        s._run_batch(batch)
+        for i, r in enumerate(batch):
+            assert r.error is None, r.error
+            got = r.result[0]  # (descriptors, uv, dist)
+            want = np.asarray(dcn.forward_on_img(batch[i].rgb))
+            np.testing.assert_allclose(got, want, atol=1e-4)
+    finally:
+        s.shutdown()
