@@ -98,6 +98,9 @@ def compose_target_panel(tgt_bgr, heat, best_uv):
             + 0.5 * heat_color.astype(np.float64) + 0.5).astype(np.uint8)
     return draw_reticle(blended, int(best_uv[0]), int(best_uv[1]),
                         (0, 0, 255))
+
+
+class HeatmapVisualization:
     """cv2 UI wrapper (reference HeatmapVisualization)."""
 
     def __init__(self, dataset, model_folders: List[str], variance: float = 0.03,

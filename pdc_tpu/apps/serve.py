@@ -113,11 +113,17 @@ def encoded_image_dims(data: bytes):
         i = 2
         while i + 9 < len(data) and data[i] == 0xFF:
             marker = data[i + 1]
+            if marker == 0xFF:  # 0xFF fill/padding byte before a marker
+                i += 1
+                continue
             if marker in sof:
                 h = int.from_bytes(data[i + 5:i + 7], "big")
                 w = int.from_bytes(data[i + 7:i + 9], "big")
                 return h, w
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:  # standalone
+            if marker == 0xD9:  # EOI before any SOF: no frame header
+                break
+            # standalone (zero-length) markers: SOI, TEM, RSTn
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue
             i += 2 + int.from_bytes(data[i + 2:i + 4], "big")

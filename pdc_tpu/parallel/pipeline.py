@@ -520,10 +520,13 @@ def make_pp_train_step(model, tx, loss_cfg, assembler_cfg, image_width: int,
 
 
 def make_frozen_bn_train_step(model, tx, loss_cfg, assembler_cfg,
-                              image_width: int, state, image_hw):
+                              image_width: int, image_hw):
     """Single-device oracle for the pipelined step: the IDENTICAL math
     (frozen-BN forward, same assembler keys, same loss composition, same
-    optax update) with no mesh and no packing. The pipelined trainer's loss
+    optax update) with no mesh and no packing. The loss/metrics composition
+    is deliberately written out rather than reusing
+    ``training.train.build_loss_fn`` — an oracle that shares machinery with
+    the step it certifies cannot catch bugs in that machinery. The pipelined trainer's loss
     trajectory must match this step's trajectory to float-reassociation
     tolerance — this is what `tests/test_trainer_model_parallel.py` and
     ``__graft_entry__.dryrun_multichip`` check #10 assert, replacing the

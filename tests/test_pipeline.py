@@ -166,6 +166,36 @@ def test_grasp_point_stream():
     assert (dist < 1e-2).all()
 
 
+def test_heatmap_visualization_surface():
+    """The cv2 UI wrapper class itself (reference HeatmapVisualization) —
+    regression for a refactor that clobbered the class statement and left
+    its body as dead code inside a neighboring function."""
+    import inspect
+
+    from pdc_tpu.apps import live_heatmap_visualization as m
+
+    assert inspect.isclass(m.HeatmapVisualization)
+    for name in ("from_config", "run", "_get_new_images"):
+        assert callable(getattr(m.HeatmapVisualization, name))
+    assert inspect.isfunction(m.compose_target_panel)
+
+    # _get_new_images drives the engine with a dataset pair (headless path)
+    class StubEngine:
+        images = None
+
+        def set_images(self, a, b):
+            self.images = (a, b)
+
+    ds = SpartanDataset.make_synthetic(num_scenes=1, width=W, height=H,
+                                       num_frames=4)
+    vis = m.HeatmapVisualization.__new__(m.HeatmapVisualization)
+    vis._dataset, vis._engine = ds, StubEngine()
+    vis._get_new_images()
+    a, b = vis._engine.images
+    assert a.shape == (H, W, 3) and b.shape == (H, W, 3)
+    np.testing.assert_array_equal(a, vis._rgb_a)
+
+
 def test_descriptor_image_export(tmp_path):
     from pdc_tpu.apps.compute_descriptor_images import compute_descriptor_images_for_scene
     from pdc_tpu.models.dcn import DenseCorrespondenceNetwork

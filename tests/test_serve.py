@@ -364,8 +364,20 @@ def test_encoded_image_dims_parses_png_and_jpeg():
 
     rgb = _frame(11)
     assert encoded_image_dims(encode_frame(rgb, "png")) == (H, W)
-    assert encoded_image_dims(encode_frame(rgb, "jpeg")) == (H, W)
+    jpg = encode_frame(rgb, "jpeg")
+    assert encoded_image_dims(jpg) == (H, W)
     assert encoded_image_dims(b"not an image") is None
+
+    # spec-legal variants some hardware MJPEG encoders emit: 0xFF fill
+    # bytes between segments, and standalone TEM/RSTn markers — the header
+    # walker must skip them, not read garbage segment lengths
+    assert jpg[:2] == b"\xff\xd8"
+    padded = jpg[:2] + b"\xff\xff\xff" + jpg[2:]
+    assert encoded_image_dims(padded) == (H, W)
+    with_tem = jpg[:2] + b"\xff\x01" + b"\xff" + jpg[2:]
+    assert encoded_image_dims(with_tem) == (H, W)
+    # EOI before any SOF: recognizably a JPEG but no frame header
+    assert encoded_image_dims(b"\xff\xd8\xff\xd9" + b"\x00" * 16) is None
 
 
 def test_decode_bomb_rejected_before_decode(server):

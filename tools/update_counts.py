@@ -61,16 +61,17 @@ def main():
     args = ap.parse_args()
 
     total, slow = collected_counts()
-    # the first pattern tolerates a hard line wrap anywhere in the phrase
-    # (markdown reflow); replacements are emitted single-line
+    # every pattern tolerates a hard line wrap anywhere in the phrase
+    # (markdown reflow); staleness is judged on the NUMBERS only, so a
+    # wrapped-but-correct phrase is neither flagged nor reflowed
     subs = [
-        (r"\d+ tests[ \n]+collected[ \n]+\(\d+[ \n]+slow-marked,[ \n]+"
-         r"enabled[ \n]+with[ \n]+--runslow\)",
+        (r"\d+[ \n]+tests[ \n]+collected[ \n]+\(\d+[ \n]+slow-marked,"
+         r"[ \n]+enabled[ \n]+with[ \n]+--runslow\)",
          f"{total} tests collected ({slow} slow-marked, enabled with "
          f"--runslow)"),
-        (r"\d+ committed protocol evidence dirs",
+        (r"\d+[ \n]+committed[ \n]+protocol[ \n]+evidence[ \n]+dirs",
          f"{evidence_dirs()} committed protocol evidence dirs"),
-        (r"\d+ dryrun checks", f"{dryrun_checks()} dryrun checks"),
+        (r"\d+[ \n]+dryrun[ \n]+checks", f"{dryrun_checks()} dryrun checks"),
     ]
 
     stale = False
@@ -82,7 +83,13 @@ def main():
             text = f.read()
         new = text
         for pat, repl in subs:
-            new = re.sub(pat, repl, new)
+            want = re.findall(r"\d+", repl)
+            new = re.sub(
+                pat,
+                lambda m, repl=repl, want=want:
+                    m.group(0) if re.findall(r"\d+", m.group(0)) == want
+                    else repl,
+                new)
         if new != text:
             stale = True
             if args.check:
