@@ -19,7 +19,8 @@ import subprocess
 import sys
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-FILES = ["README.md", "docs/parity_matrix.md", "BENCHMARKS.md", "CLAUDE.md"]
+FILES = ["README.md", "docs/parity_matrix.md", "docs/testing.md",
+         "BENCHMARKS.md", "CLAUDE.md"]
 
 
 def collected_counts():
